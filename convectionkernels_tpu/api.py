@@ -1,0 +1,169 @@
+"""Public encode API.
+
+TPU-native equivalent of cvtt::Kernels (/root/reference/ConvectionKernels.h:236-277,
+ConvectionKernels_API.cpp). Unlike the reference's fixed 8-blocks-per-call
+contract, every entry point here takes an arbitrary batch of N blocks
+([N, 16, 4] pixels) and encodes them all in one jit-compiled program; the
+Options dataclass is a static jit argument so each distinct configuration
+compiles once and is cached.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models import s3tc
+from .options import Flags, Options
+
+
+def _as_block_array(pixels, dtype=jnp.uint8):
+    arr = jnp.asarray(pixels, dtype=dtype)
+    if arr.ndim != 3 or arr.shape[1] != 16:
+        raise ValueError(f"expected [N, 16, C] pixel blocks, got {arr.shape}")
+    return arr
+
+
+@functools.lru_cache(maxsize=None)
+def _bc1_fn(options: Options):
+    cw = options.channel_weights()
+    exhaustive = bool(options.flags & Flags.S3TC_EXHAUSTIVE)
+    sc_tables = _single_color_tables() if exhaustive else None
+
+    def fn(pixels):
+        return s3tc.pack_rgb(
+            pixels, options.flags, cw, True, options.threshold, exhaustive,
+            options.seed_points, options.refine_rounds_s3tc, sc_tables)
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def _single_color_tables():
+    from .tables import s3tc_single_color
+    return s3tc_single_color.load_tables()
+
+
+def encode_bc1(pixels, options: Options = Options()):
+    """Kernels::EncodeBC1 (API.cpp:86-99): BC1 with alpha test. [N,16,4] -> [N,8]."""
+    return _bc1_fn(options)(_as_block_array(pixels))
+
+
+@functools.lru_cache(maxsize=None)
+def _rgb_noalpha_fn(options: Options):
+    """Shared BC2/BC3 color half: PackRGB without alpha test (API.cpp:109,125)."""
+    cw = options.channel_weights()
+    exhaustive = bool(options.flags & Flags.S3TC_EXHAUSTIVE)
+    sc_tables = _single_color_tables() if exhaustive else None
+
+    def fn(pixels):
+        return s3tc.pack_rgb(
+            pixels, options.flags, cw, False, 1.0, exhaustive,
+            options.seed_points, options.refine_rounds_s3tc, sc_tables)
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def _bc2_fn(options: Options):
+    def fn(pixels):
+        color = _rgb_noalpha_fn(options)(pixels)
+        alpha = s3tc.pack_explicit_alpha(pixels, 3)
+        return jnp.concatenate([alpha, color], axis=-1)
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def _bc3_fn(options: Options):
+    def fn(pixels):
+        color = _rgb_noalpha_fn(options)(pixels)
+        alpha = s3tc.pack_interpolated_alpha(
+            pixels, 3, False, options.seed_points, options.refine_rounds_iic)
+        return jnp.concatenate([alpha, color], axis=-1)
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def _bc4_fn(options: Options, signed: bool):
+    def fn(pixels):
+        if signed:
+            pixels = s3tc.bias_signed_input(pixels)
+        return s3tc.pack_interpolated_alpha(
+            pixels, 0, signed, options.seed_points, options.refine_rounds_iic)
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def _bc5_fn(options: Options, signed: bool):
+    def fn(pixels):
+        if signed:
+            pixels = s3tc.bias_signed_input(pixels)
+        r = s3tc.pack_interpolated_alpha(
+            pixels, 0, signed, options.seed_points, options.refine_rounds_iic)
+        g = s3tc.pack_interpolated_alpha(
+            pixels, 1, signed, options.seed_points, options.refine_rounds_iic)
+        return jnp.concatenate([r, g], axis=-1)
+
+    return jax.jit(fn)
+
+
+def encode_bc2(pixels, options: Options = Options()):
+    """Kernels::EncodeBC2 (API.cpp:101-115): BC1 color + 4-bit alpha. -> [N,16]."""
+    return _bc2_fn(options)(_as_block_array(pixels))
+
+
+def encode_bc3(pixels, options: Options = Options()):
+    """Kernels::EncodeBC3 (API.cpp:117-131): BC1 color + interp alpha. -> [N,16]."""
+    return _bc3_fn(options)(_as_block_array(pixels))
+
+
+def encode_bc4u(pixels, options: Options = Options()):
+    """Kernels::EncodeBC4U (API.cpp:133-146). -> [N,8]."""
+    return _bc4_fn(options, False)(_as_block_array(pixels))
+
+
+def encode_bc4s(pixels, options: Options = Options()):
+    """Kernels::EncodeBC4S (API.cpp:148-164): signed input. -> [N,8]."""
+    return _bc4_fn(options, True)(_as_block_array(pixels, dtype=jnp.int8))
+
+
+def encode_bc5u(pixels, options: Options = Options()):
+    """Kernels::EncodeBC5U (API.cpp:166-180). -> [N,16]."""
+    return _bc5_fn(options, False)(_as_block_array(pixels))
+
+
+def encode_bc5s(pixels, options: Options = Options()):
+    """Kernels::EncodeBC5S (API.cpp:182-199): signed input. -> [N,16]."""
+    return _bc5_fn(options, True)(_as_block_array(pixels, dtype=jnp.int8))
+
+
+@functools.lru_cache(maxsize=None)
+def _bc7_fn(options: Options, plan):
+    from .models import bc7
+
+    cw = options.channel_weights()
+
+    def fn(pixels):
+        return bc7.pack(pixels, options.flags, cw, plan,
+                        options.refine_rounds_bc7)
+
+    return jax.jit(fn)
+
+
+def encode_bc7(pixels, options: Options = Options(), plan=None, quality=None):
+    """Kernels::EncodeBC7 (API.cpp:41-54). -> [N,16].
+
+    `plan` is a BC7EncodingPlan (default: max quality); `quality` (1-100)
+    configures a plan via ConfigureBC7EncodingPlanFromQuality.
+    """
+    from . import bc7_plan
+    if plan is None:
+        plan = (bc7_plan.plan_from_quality(quality) if quality is not None
+                else bc7_plan.BC7EncodingPlan())
+    return _bc7_fn(options, plan)(_as_block_array(pixels))

@@ -1,0 +1,1218 @@
+"""BC7 encoder.
+
+TPU-native reimplementation of the reference's BC7Computer
+(/root/reference/ConvectionKernels_BC67.cpp:815-2445), redesigned for dense
+batched evaluation: where the reference loops mode x shape x parity x tweak x
+refine sequentially over 8 SIMD lanes, this encoder evaluates whole candidate
+*axes* (shapes S, tweaks T, parities P) as array dimensions over N blocks at
+once, and resolves the reference's first-strict-improvement-wins update rule
+exactly via lexicographic (error, visitation-rank) argmin: the reference's
+winner is always the lowest-visitation-rank candidate achieving the global
+minimum error, so ordered argmin reproduces it bit-for-bit.
+
+Float32 semantics follow the scalar reference build (see ops/lanes.py).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..bc7_plan import BC7EncodingPlan
+from ..ops import lanes, pca
+from ..ops.index_select import IndexSelector
+from ..ops.refine import EndpointRefiner
+from ..options import Flags
+from ..tables import bc7_geometry as geom
+from ..tables import bc7_single_color
+
+INF = np.float32(np.inf)
+BIG_RANK = np.int32(2**30)
+
+# BC7ModeInfo (BC67.cpp:107-119): pbit mode (0=per-endpoint, 1=per-subset,
+# 2=none), alpha mode (0=combined, 1=separate, 2=none), rgbBits, alphaBits,
+# partitionBits, numSubsets, indexBits, alphaIndexBits, hasIndexSelector
+MODE_INFO = {
+    0: dict(pbit="per_ep", alpha="none", rgb_bits=4, alpha_bits=0,
+            partition_bits=4, num_subsets=3, index_bits=3, alpha_index_bits=0,
+            has_index_selector=False),
+    1: dict(pbit="per_subset", alpha="none", rgb_bits=6, alpha_bits=0,
+            partition_bits=6, num_subsets=2, index_bits=3, alpha_index_bits=0,
+            has_index_selector=False),
+    2: dict(pbit="none", alpha="none", rgb_bits=5, alpha_bits=0,
+            partition_bits=6, num_subsets=3, index_bits=2, alpha_index_bits=0,
+            has_index_selector=False),
+    3: dict(pbit="per_ep", alpha="none", rgb_bits=7, alpha_bits=0,
+            partition_bits=6, num_subsets=2, index_bits=2, alpha_index_bits=0,
+            has_index_selector=False),
+    4: dict(pbit="none", alpha="separate", rgb_bits=5, alpha_bits=6,
+            partition_bits=0, num_subsets=1, index_bits=2, alpha_index_bits=3,
+            has_index_selector=True),
+    5: dict(pbit="none", alpha="separate", rgb_bits=7, alpha_bits=8,
+            partition_bits=0, num_subsets=1, index_bits=2, alpha_index_bits=2,
+            has_index_selector=False),
+    6: dict(pbit="per_ep", alpha="combined", rgb_bits=7, alpha_bits=7,
+            partition_bits=0, num_subsets=1, index_bits=4, alpha_index_bits=0,
+            has_index_selector=False),
+    7: dict(pbit="per_ep", alpha="combined", rgb_bits=5, alpha_bits=5,
+            partition_bits=6, num_subsets=2, index_bits=2, alpha_index_bits=0,
+            has_index_selector=False),
+}
+
+MAX_TWEAK_ROUNDS = 4  # BC67.h:40
+
+
+# --- Endpoint quantization (BC67.cpp:827-938) -------------------------------
+
+def _quantize(color, bits: int, channels: int):
+    """Quantize (BC67.cpp:827-831)."""
+    return [((color[ch] << bits) - color[ch] + (127 + (1 << (7 - bits)))) >> 8
+            if ch < channels else color[ch] for ch in range(len(color))]
+
+
+def _quantize_p(color, bits: int, p, channels: int):
+    """QuantizeP (BC67.cpp:833-849). `p` may be an int or a [P] array."""
+    p_arr = jnp.asarray(p, dtype=jnp.int32)
+    addend = jnp.where(p_arr != 0, (1 << (8 - bits)) - 1, 255)
+    out = []
+    for ch in range(len(color)):
+        if ch < channels:
+            c = ((color[ch] << (bits + 1)) - color[ch] + addend) >> 9
+            out.append((c << 1) | p_arr)
+        else:
+            out.append(color[ch])
+    return out
+
+
+def _unquantize(color, bits: int, channels: int):
+    """Unquantize (BC67.cpp:851-859)."""
+    out = []
+    for ch in range(len(color)):
+        if ch < channels:
+            c = color[ch] << (8 - bits)
+            out.append(c | (c >> bits))
+        else:
+            out.append(color[ch])
+    return out
+
+
+def compress_endpoints(mode: int, ep, p0, p1, full255):
+    """CompressEndpoints0..7 for 4-channel single-plane modes
+    (BC67.cpp:861-906, 925-938). ep = [ep0_chs, ep1_chs], p0/p1 [P] arrays.
+    """
+    out = []
+    for j, p in ((0, p0), (1, p1)):
+        chs = list(ep[j])
+        if mode == 0:
+            chs = _unquantize(_quantize_p(chs, 4, p, 3), 5, 3)
+            chs[3] = full255
+        elif mode == 1:
+            chs = _unquantize(_quantize_p(chs, 6, p0, 3), 7, 3)  # per-subset p
+            chs[3] = full255
+        elif mode == 2:
+            chs = _unquantize(_quantize(chs, 5, 3), 5, 3)
+            chs[3] = full255
+        elif mode == 3:
+            chs = _quantize_p(chs, 7, p, 3)
+            chs[3] = full255
+        elif mode == 6:
+            chs = _quantize_p(chs, 7, p, 4)
+        elif mode == 7:
+            chs = _unquantize(_quantize_p(chs, 5, p, 4), 6, 4)
+        else:
+            raise ValueError(mode)
+        out.append(chs)
+    return out
+
+
+# --- Lexicographic best tracking ---------------------------------------------
+
+class LexBest:
+    """Running (error, rank) lexicographic minimum with payload arrays.
+
+    Reproduces the reference's sequential strict-less update: the final
+    winner is the minimum-rank candidate among those achieving the minimum
+    error, where rank is the reference's visitation order.
+    """
+
+    def __init__(self, error, rank, payload: dict):
+        self.error = error
+        self.rank = rank
+        self.payload = payload
+
+    @classmethod
+    def empty(cls, shape, payload_spec: dict):
+        error = jnp.full(shape, lanes.FLT_MAX, dtype=jnp.float32)
+        rank = jnp.full(shape, BIG_RANK, dtype=jnp.int32)
+        payload = {k: jnp.zeros(shape + extra, dtype=jnp.int32)
+                   for k, extra in payload_spec.items()}
+        return cls(error, rank, payload)
+
+    def update(self, error, rank, payload: dict, extra_valid=None):
+        better = (error < self.error) | ((error == self.error)
+                                         & (rank < self.rank))
+        if extra_valid is not None:
+            better = better & extra_valid
+        self.error = jnp.where(better, error, self.error)
+        self.rank = jnp.where(better, rank, self.rank)
+        for k in self.payload:
+            extra = self.payload[k].ndim - better.ndim
+            b = better.reshape(better.shape + (1,) * extra)
+            self.payload[k] = jnp.where(b, payload[k], self.payload[k])
+
+
+def _ordered_argmin(error, rank_axis_is_ordered=True):
+    """First-occurrence argmin over the last axis (candidates pre-ordered by
+    visitation rank), returning (min_error, argmin_index)."""
+    idx = jnp.argmin(error, axis=-1)
+    err = jnp.take_along_axis(error, idx[..., None], axis=-1)[..., 0]
+    return err, idx
+
+
+def _gather_last(arr, idx):
+    """take_along_axis over the candidate (last) axis with [N, S] idx."""
+    return jnp.take_along_axis(arr, idx[..., None], axis=-1)[..., 0]
+
+
+# --- Single-plane search ------------------------------------------------------
+
+def _shape_pca(pw_pixels, shape_ids, nch: int, channel_weights):
+    """Per-shape PCA endpoints: returns (base, offset) lists of [N, S] arrays.
+
+    Generalizes the reference's per-shape EndpointSelector loops
+    (BC67.cpp:1085-1144) by making the shape list an array axis.
+    """
+    masks = geom.shape_masks()[np.asarray(shape_ids)]  # [S, 16]
+    s = masks.shape[0]
+
+    pw = [[pw_pixels[px][ch][:, None] for ch in range(nch)]
+          for px in range(16)]
+    weights = [jnp.asarray(np.broadcast_to(
+        masks[:, px].astype(np.float32), (1, s))) for px in range(16)]
+    member = [jnp.asarray(np.broadcast_to(masks[:, px], (1, s)))
+              for px in range(16)]
+
+    centroid, direction, min_d, max_d = pca.endpoint_selector(
+        pw, weights, nch, member_mask=member)
+    return pca.get_endpoints(centroid, direction, min_d, max_d,
+                             channel_weights, nch)
+
+
+def try_single_plane(pixels, float_pixels, pw_pixels, channel_weights, flags,
+                     plan: BC7EncodingPlan, num_refine_rounds: int,
+                     alpha_info: dict):
+    """TrySinglePlane (BC67.cpp:1042-1662). Returns a list of mode-winner
+    candidate dicts for the final cross-mode merge."""
+    num_refine_rounds = max(num_refine_rounds, 1)
+    cw = [np.float32(w) for w in channel_weights]
+    cw_sq = [w * w for w in cw]
+
+    n = pixels[0][0].shape[0]
+    has_alpha = alpha_info["has_non_max_alpha"]      # [N] bool
+    allow_rgb = alpha_info["allow_rgb"]              # [N] bool
+    is_punch_through = alpha_info["is_punch_through"]
+    has_nonzero_alpha = alpha_info["has_non_zero_alpha"]
+
+    fast_indexing = bool(flags & Flags.BC7_FAST_INDEXING)
+    uniform = bool(flags & Flags.UNIFORM)
+    try_single_color = bool(flags & Flags.BC7_TRY_SINGLE_COLOR)
+    respect_punch_through = bool(flags & Flags.BC7_RESPECT_PUNCH_THROUGH)
+
+    # --- Initial per-shape endpoints (BC67.cpp:1085-1144) ---
+    rgb_ids = np.asarray(plan.rgb_shape_list, dtype=np.int32)
+    rgba_ids = np.asarray(plan.rgba_shape_list, dtype=np.int32)
+
+    rgb_base, rgb_offset = _shape_pca(pw_pixels, rgb_ids, 3, cw)
+    rgba4_base, rgba4_offset = _shape_pca(pw_pixels, rgba_ids, 4, cw)
+
+    # RGBA endpoints: per lane, PCA4 when hasAlpha || !allowRGB, else
+    # ExpandTo<4>(255) of the RGB line (BC67.cpp:1117-1143)
+    use_pca4 = (has_alpha | ~allow_rgb)[:, None]
+    rgb_col_of = np.full(243, -1, dtype=np.int32)
+    rgb_col_of[rgb_ids] = np.arange(len(rgb_ids))
+    rgba_from_rgb_cols = rgb_col_of[rgba_ids]  # may contain -1 if plan odd
+    safe_cols = np.maximum(rgba_from_rgb_cols, 0)
+    rgba_base, rgba_offset = [], []
+    for ch in range(4):
+        if ch < 3:
+            exp_b = jnp.take(rgb_base[ch], jnp.asarray(safe_cols), axis=1)
+            exp_o = jnp.take(rgb_offset[ch], jnp.asarray(safe_cols), axis=1)
+        else:
+            exp_b = jnp.full((n, len(rgba_ids)), np.float32(255.0))
+            exp_o = jnp.zeros((n, len(rgba_ids)), dtype=jnp.float32)
+        rgba_base.append(jnp.where(use_pca4, rgba4_base[ch], exp_b))
+        rgba_offset.append(jnp.where(use_pca4, rgba4_offset[ch], exp_o))
+
+    # Static alpha error per RGB shape (BC67.cpp:1250-1263): sum over member
+    # pixels of (255 - alpha)^2, then weighted finalize. Zero for opaque lanes.
+    masks_rgb = geom.shape_masks()[rgb_ids]  # [S,16]
+    alpha_agg = jnp.zeros((n, len(rgb_ids)), dtype=jnp.int32)
+    for px in range(16):
+        d = 255 - pixels[px][3]
+        term = (d * d)[:, None]
+        m = jnp.asarray(masks_rgb[:, px][None, :])
+        alpha_agg = alpha_agg + jnp.where(m, term, 0)
+    if uniform:
+        static_alpha_error_rgb = lanes.to_float(alpha_agg)
+    else:
+        static_alpha_error_rgb = lanes.to_float(alpha_agg) * cw_sq[3]
+
+    mode_winners = []
+
+    for mode_pos, mode in enumerate([0, 1, 2, 3, 6, 7]):
+        info = MODE_INFO[mode]
+        is_rgb = mode < 4
+        num_subsets = info["num_subsets"]
+        index_bits = info["index_bits"]
+        index_range = 1 << index_bits
+        num_real_channels = 3 if is_rgb else 4
+
+        if info["pbit"] == "per_ep":
+            parity_max = 4
+        elif info["pbit"] == "per_subset":
+            parity_max = 2
+        else:
+            parity_max = 1
+
+        # Mode shape list (BC67.cpp:1202-1226), plan-filtered
+        if num_subsets == 1:
+            mode_shape_list = geom.SHAPE_LIST_1
+        elif num_subsets == 2:
+            mode_shape_list = geom.SHAPE_LIST_2
+        elif (1 << info["partition_bits"]) == 16:
+            mode_shape_list = geom.SHAPE_LIST_3_SHORT
+        else:
+            mode_shape_list = geom.SHAPE_LIST_3
+
+        seeds_all = (plan.seed_points_for_shape_rgb if is_rgb
+                     else plan.seed_points_for_shape_rgba)
+        shape_ids = np.asarray([s for s in mode_shape_list
+                                if seeds_all[s] > 0], dtype=np.int32)
+        if mode == 6 and not plan.mode6_enabled:
+            shape_ids = shape_ids[:0]
+        if shape_ids.size == 0:
+            continue
+        seeds = np.asarray([min(seeds_all[s], MAX_TWEAK_ROUNDS)
+                            for s in shape_ids], dtype=np.int32)
+
+        s_count = len(shape_ids)
+        masks = geom.shape_masks()[shape_ids]  # [S,16]
+
+        # Per-shape unfinished endpoints for this mode's shape set
+        if is_rgb:
+            src_ids, src_base, src_offset = rgb_ids, rgb_base, rgb_offset
+        else:
+            src_ids, src_base, src_offset = rgba_ids, rgba_base, rgba_offset
+        col_of = np.full(243, 0, dtype=np.int32)
+        col_of[src_ids] = np.arange(len(src_ids))
+        cols = jnp.asarray(col_of[shape_ids])
+        base = [jnp.take(b, cols, axis=1) for b in src_base]
+        offset = [jnp.take(o, cols, axis=1) for o in src_offset]
+
+        # Tweak axis: quantized base endpoints [N,S,T] (BC67.cpp:1266-1279)
+        t_count = MAX_TWEAK_ROUNDS
+        f0s = np.zeros(t_count, dtype=np.float32)
+        f1s = np.zeros(t_count, dtype=np.float32)
+        for t in range(t_count):
+            f0s[t], f1s[t] = lanes.compute_tweak_factors(t, index_range)
+        f0s = jnp.asarray(f0s)
+        f1s = jnp.asarray(f1s)
+
+        tweak_ep = [[], []]  # [epi][ch] -> [N,S,T]
+        for ch in range(4):
+            if is_rgb and ch == 3:
+                e0 = jnp.full((n, s_count, t_count), 255, dtype=jnp.int32)
+                e1 = e0
+            else:
+                b = base[ch][..., None]
+                o = offset[ch][..., None]
+                e0 = lanes.round_and_convert_to_int_nearest(
+                    lanes.clamp(b + o * f0s, 0.0, 255.0))
+                e1 = lanes.round_and_convert_to_int_nearest(
+                    lanes.clamp(b + o * f1s, 0.0, 255.0))
+            tweak_ep[0].append(e0)
+            tweak_ep[1].append(e1)
+
+        # static candidate validity: tweak t valid iff t < seeds[shape]
+        tweak_valid = (np.arange(t_count)[None, :]
+                       < seeds[:, None])  # [S,T]
+
+        # punchthrough invalidations per parity (BC67.cpp:1281-1303)
+        pti = []  # [P] of [N] bool
+        for p_iter in range(parity_max):
+            if respect_punch_through and mode in (6, 7):
+                if p_iter == 0:
+                    pti.append(is_punch_through & has_nonzero_alpha)
+                elif p_iter == parity_max - 1:
+                    pti.append(is_punch_through & has_alpha)
+                else:
+                    pti.append(is_punch_through)
+            else:
+                pti.append(jnp.zeros((n,), dtype=bool))
+        pti_arr = jnp.stack(pti, axis=-1)  # [N,P]
+
+        p0s = np.arange(parity_max) & 1
+        p1s = (np.arange(parity_max) >> 1) & 1
+
+        # --- candidate evaluation over (S, T, P) x refine rounds ---
+        best = LexBest.empty((n, s_count), {
+            "ep": (2, 4),
+            "idx": (16,),
+        })
+
+        full255 = jnp.full((n, s_count, t_count, parity_max), 255,
+                           dtype=jnp.int32)
+        ep_state = [[tweak_ep[epi][ch][..., None]
+                     + jnp.zeros((1, 1, 1, parity_max), dtype=jnp.int32)
+                     for ch in range(4)] for epi in range(2)]
+
+        member_b = [jnp.asarray(masks[:, px][None, :, None, None])
+                    for px in range(16)]
+        fp_b = [[float_pixels[px][ch][:, None, None, None]
+                 for ch in range(4)] for px in range(16)]
+        ip_b = [[pixels[px][ch][:, None, None, None] for ch in range(4)]
+                for px in range(16)]
+        pwp_b = [[pw_pixels[px][ch][:, None, None, None] for ch in range(4)]
+                 for px in range(16)]
+
+        zero_nstp = jnp.zeros((n, s_count, t_count, parity_max),
+                              dtype=jnp.float32)
+
+        # visitation rank (p-major, then tweak, then refine), [S?,T,P] static
+        base_rank = ((p1s * 2 + p0s)[None, :] * t_count
+                     + np.arange(t_count)[:, None])  # [T,P] = p*T + t
+        for refine in range(num_refine_rounds):
+            compressed = compress_endpoints(
+                mode, ep_state,
+                jnp.asarray(p0s, dtype=jnp.int32),
+                jnp.asarray(p1s, dtype=jnp.int32), full255)
+
+            selector = IndexSelector(cw, compressed, index_range, 4)
+            refiner = EndpointRefiner(zero_nstp, 4, index_range, cw)
+
+            shape_error = zero_nstp
+            agg = [jnp.zeros((n, s_count, t_count, parity_max),
+                             dtype=jnp.int32) for _ in range(4)]
+            indexes = []
+            for px in range(16):
+                index = selector.select_index_ldr(fp_b[px])
+                if fast_indexing:
+                    recon = selector.reconstruct_ldr_bc7(index,
+                                                         num_real_channels)
+                    for ch in range(num_real_channels):
+                        agg[ch] = agg[ch] + jnp.where(
+                            member_b[px],
+                            lanes.sq_diff_int(recon[ch], ip_b[px][ch]), 0)
+                else:
+                    def px_error(idx_val):
+                        rec = selector.reconstruct_ldr_bc7(idx_val,
+                                                           num_real_channels)
+                        errs = [lanes.sq_diff_int(rec[ch], ip_b[px][ch])
+                                for ch in range(num_real_channels)]
+                        if uniform:
+                            tot = errs[0]
+                            for e in errs[1:]:
+                                tot = tot + e
+                            return lanes.to_float(tot)
+                        tot = lanes.to_float(errs[0]) * cw_sq[0]
+                        for ch in range(1, num_real_channels):
+                            tot = tot + lanes.to_float(errs[ch]) * cw_sq[ch]
+                        return tot
+
+                    error = px_error(index)
+                    alt0 = jnp.maximum(index, 1) - 1
+                    alt1 = jnp.minimum(index + 1, index_range - 1)
+                    for alt in (alt0, alt1):
+                        alt_error = px_error(alt)
+                        better = alt_error < error
+                        error = jnp.minimum(error, alt_error)
+                        index = jnp.where(better, alt, index)
+                    shape_error = shape_error + jnp.where(
+                        member_b[px], error, np.float32(0.0))
+
+                if refine != num_refine_rounds - 1:
+                    refiner.contribute_unweighted_pw(
+                        [pwp_b[px][ch] for ch in range(4)], index,
+                        num_real_channels, mask=member_b[px])
+                indexes.append(index)
+
+            if fast_indexing:
+                if uniform:
+                    tot = agg[0]
+                    for e in agg[1:]:
+                        tot = tot + e
+                    shape_error = lanes.to_float(tot)
+                else:
+                    shape_error = lanes.to_float(agg[0]) * cw_sq[0]
+                    for ch in range(1, 4):
+                        shape_error = shape_error + lanes.to_float(
+                            agg[ch]) * cw_sq[ch]
+
+            if is_rgb:
+                shape_error = shape_error + jnp.take(
+                    static_alpha_error_rgb, cols, axis=1)[..., None, None]
+
+            # invalid candidates: tweak beyond seeds, or punchthrough-invalid
+            invalid = jnp.asarray(~tweak_valid[None, :, :, None])
+            invalid = invalid | pti_arr[:, None, None, :]
+            cand_error = jnp.where(invalid, INF, shape_error)
+
+            # order candidates by rank: transpose (T,P) -> rank order p*T+t
+            rank = jnp.asarray((base_rank * num_refine_rounds + refine)
+                               .astype(np.int32))  # [T,P]
+            flat_order = np.argsort((base_rank).reshape(-1),
+                                    kind="stable")  # positions in rank order
+
+            def flat(x):
+                return x.reshape(x.shape[:-2] + (-1,))[..., flat_order]
+
+            cand_flat = flat(cand_error)
+            min_err, win = _ordered_argmin(cand_flat)
+            win_rank = _gather_last(flat(jnp.broadcast_to(
+                rank, cand_error.shape).astype(jnp.int32)), win)
+
+            payload = {}
+            ep_cols = []
+            for epi in range(2):
+                for ch in range(4):
+                    ep_cols.append(_gather_last(flat(compressed[epi][ch]),
+                                                win))
+            payload["ep"] = jnp.stack(ep_cols, axis=-1).reshape(
+                (n, s_count, 2, 4))
+            payload["idx"] = jnp.stack(
+                [_gather_last(flat(indexes[px]), win) for px in range(16)],
+                axis=-1)
+
+            best.update(min_err, win_rank, payload)
+
+            if refine != num_refine_rounds - 1:
+                r0, r1 = refiner.get_refined_endpoints_ldr(num_real_channels)
+                for ch in range(num_real_channels):
+                    ep_state[0][ch] = r0[ch]
+                    ep_state[1][ch] = r1[ch]
+
+        # --- TrySingleColor (BC67.cpp:1435-1569) ---
+        if try_single_color:
+            _try_single_color(mode, best, pixels, cw_sq, uniform, shape_ids,
+                              masks, static_alpha_error_rgb, cols if is_rgb
+                              else None, is_rgb, pti_arr, parity_max, n,
+                              s_count, flags)
+
+        # --- Partition combine (BC67.cpp:1571-1660) ---
+        winner = _combine_partitions(
+            mode, mode_pos, best, shape_ids, plan, n, has_alpha, allow_rgb)
+        if winner is not None:
+            mode_winners.append(winner)
+
+    return mode_winners
+
+
+def _try_single_color(mode, best, pixels, cw_sq, uniform, shape_ids, masks,
+                      static_alpha_error_rgb, rgb_cols, is_rgb, pti_arr,
+                      parity_max, n, s_count, flags):
+    """TrySingleColorRGBAMultiTable per shape (BC67.cpp:940-1040).
+
+    NOTE: replicates the reference's average computation quirk: the average
+    uses pixels[pxi] (the first shapeLength pixels), not the shape's pixels
+    (BC67.cpp:1448-1451).
+    """
+    num_real_channels = 3 if is_rgb else 4
+    shape_lens = geom.shape_lengths()[shape_ids]  # [S]
+
+    # average over the *first* len pixels (reference quirk)
+    prefix = np.arange(16)[None, :] < shape_lens[:, None]  # [S,16]
+    totals = [jnp.zeros((n, s_count), dtype=jnp.int32) for _ in range(4)]
+    for px in range(16):
+        m = jnp.asarray(prefix[:, px][None, :])
+        for ch in range(4):
+            totals[ch] = totals[ch] + jnp.where(m, pixels[px][ch][:, None], 0)
+    rcp_len = jnp.asarray((np.float32(1.0)
+                           / shape_lens.astype(np.float32))[None, :])
+    average = [lanes.to_float(t) * rcp_len for t in totals]
+    int_average = [lanes.round_and_convert_to_int_nearest(a) for a in average]
+
+    tables = bc7_single_color.mode_tables(mode)
+
+    best_avg_error = jnp.full((n, s_count), lanes.FLT_MAX, dtype=jnp.float32)
+    index = jnp.zeros((n, s_count), dtype=jnp.int32)
+    eps = [[jnp.zeros((n, s_count), dtype=jnp.int32) if ch < 3 else
+            jnp.full((n, s_count), 255, dtype=jnp.int32) for ch in range(4)]
+           for _ in range(2)]
+    recon = [jnp.zeros((n, s_count), dtype=jnp.int32) if ch < 3 else
+             jnp.full((n, s_count), 255, dtype=jnp.int32) for ch in range(4)]
+
+    for t_idx, p_bits, table in tables:
+        tbl = jnp.asarray(table)  # [256,3]
+        pti = pti_arr[:, min(p_bits, parity_max - 1)][:, None] \
+            if p_bits < pti_arr.shape[1] else pti_arr[:, -1][:, None]
+        pti = pti_arr[:, p_bits][:, None] if p_bits < pti_arr.shape[1] \
+            else jnp.zeros((n, 1), dtype=bool)
+
+        cand_eps = [[], []]
+        cand_recon = []
+        avg_error = jnp.zeros((n, s_count), dtype=jnp.float32)
+        for ch in range(num_real_channels):
+            entry = jnp.take(tbl, int_average[ch], axis=0)
+            cand_eps[0].append(entry[..., 0])
+            cand_eps[1].append(entry[..., 1])
+            cand_recon.append(entry[..., 2])
+            delta = lanes.to_float(entry[..., 2]) - average[ch]
+            avg_error = avg_error + delta * delta * cw_sq[ch]
+
+        better = (avg_error < best_avg_error) & ~pti
+        best_avg_error = jnp.where(better, avg_error, best_avg_error)
+        index = jnp.where(better, t_idx, index)
+        for ch in range(num_real_channels):
+            recon[ch] = jnp.where(better, cand_recon[ch], recon[ch])
+            for epi in range(2):
+                eps[epi][ch] = jnp.where(better, cand_eps[epi][ch],
+                                         eps[epi][ch])
+
+    agg = [jnp.zeros((n, s_count), dtype=jnp.int32) for _ in range(4)]
+    for px in range(16):
+        m = jnp.asarray(masks[:, px][None, :])
+        for ch in range(num_real_channels):
+            agg[ch] = agg[ch] + jnp.where(
+                m, lanes.sq_diff_int(recon[ch], pixels[px][ch][:, None]), 0)
+    if uniform:
+        tot = agg[0]
+        for e in agg[1:]:
+            tot = tot + e
+        error = lanes.to_float(tot)
+    else:
+        error = lanes.to_float(agg[0]) * cw_sq[0]
+        for ch in range(1, 4):
+            error = error + lanes.to_float(agg[ch]) * cw_sq[ch]
+
+    if is_rgb:
+        error = error + jnp.take(static_alpha_error_rgb, rgb_cols, axis=1)
+
+    # single-color candidates come after all tweak/parity candidates
+    payload = {
+        "ep": jnp.stack([jnp.stack([eps[epi][ch] for ch in range(4)],
+                                   axis=-1) for epi in range(2)], axis=-2),
+        "idx": jnp.stack([index] * 16, axis=-1),
+    }
+    rank = jnp.full((n, s_count), BIG_RANK - 1, dtype=jnp.int32)
+    best.update(error, rank, payload)
+
+
+def _combine_partitions(mode, mode_pos, best, shape_ids, plan, n, has_alpha,
+                        allow_rgb):
+    """Per-partition error combine + winner materialization
+    (BC67.cpp:1571-1660)."""
+    info = MODE_INFO[mode]
+    num_subsets = info["num_subsets"]
+    num_partitions = 1 << info["partition_bits"]
+    is_rgb = mode < 4
+
+    col_of = np.full(243, -1, dtype=np.int32)
+    col_of[shape_ids] = np.arange(len(shape_ids))
+
+    if mode in (0, 1, 2, 3):
+        enabled_bits = [plan.mode0_partition_enabled,
+                        plan.mode1_partition_enabled,
+                        plan.mode2_partition_enabled,
+                        plan.mode3_partition_enabled][mode]
+    elif mode == 6:
+        enabled_bits = 1 if plan.mode6_enabled else 0
+    else:
+        # mode 7: the reference's combine loop iterates ALL partitions due to
+        # assigning the wrong variable (BC67.cpp:1590-1597 writes
+        # partitionEnabledBits, not partitionsEnabledBits) — replicated.
+        enabled_bits = (1 << num_partitions) - 1
+
+    parts = [p for p in range(num_partitions) if (enabled_bits >> p) & 1]
+    # keep only partitions whose shapes were all evaluated
+    def shapes_of(p):
+        if num_subsets == 1:
+            return [0]
+        if num_subsets == 2:
+            return [int(geom.SHAPES_2[p][k]) for k in range(2)]
+        return [int(geom.SHAPES_3[p][k]) for k in range(3)]
+
+    parts = [p for p in parts
+             if all(col_of[s] >= 0 for s in shapes_of(p))]
+    if not parts:
+        return None
+
+    totals = []
+    for p in parts:
+        cols = [col_of[s] for s in shapes_of(p)]
+        tot = best.error[:, cols[0]]
+        for c in cols[1:]:
+            tot = tot + best.error[:, c]
+        totals.append(tot)
+    total_error = jnp.stack(totals, axis=-1)  # [N, parts]
+
+    # per-lane validity (scalar-build semantics)
+    valid = jnp.ones((n, len(parts)), dtype=bool)
+    if is_rgb:
+        valid = valid & allow_rgb[:, None]
+    if mode == 7:
+        # In the scalar build the in-loop RGB-partition filter
+        # (BC67.cpp:1625-1635) is a no-op: it is guarded by anyBlockHasAlpha,
+        # which per-lane equals blockHasNonMaxAlpha, so the mask it applies is
+        # always true. The only per-lane gate is whether mode 7 ran at all:
+        # allowMode7 = hasAlpha || mode7RGBPartitionEnabled != 0.
+        if plan.mode7_rgb_partition_enabled == 0:
+            valid = valid & has_alpha[:, None]
+
+    cand = jnp.where(valid, total_error, INF)
+    err, win = _ordered_argmin(cand)
+    win_part = jnp.take(jnp.asarray(np.asarray(parts, dtype=np.int32)), win)
+
+    # materialize winner payload
+    ep = [[[jnp.zeros((n,), dtype=jnp.int32) for _ in range(4)]
+           for _ in range(2)] for _ in range(3)]
+    if num_subsets == 1:
+        col = jnp.full((n,), col_of[0], dtype=jnp.int32)
+        cols_per_subset = [col]
+    else:
+        table = np.asarray([[col_of[s] for s in shapes_of(p)] for p in parts],
+                           dtype=np.int32)  # [parts, subsets]
+        cols_per_subset = [jnp.take(jnp.asarray(table[:, k]), win)
+                           for k in range(num_subsets)]
+
+    for subset in range(num_subsets):
+        c = cols_per_subset[subset]
+        for epi in range(2):
+            for ch in range(4):
+                ep[subset][epi][ch] = jnp.take_along_axis(
+                    best.payload["ep"][:, :, epi, ch], c[:, None],
+                    axis=1)[:, 0]
+
+    # indexes: gather from the owning subset's shape per pixel
+    if num_subsets == 1:
+        owner = [jnp.zeros((n,), dtype=jnp.int32) for _ in range(16)]
+    elif num_subsets == 2:
+        pmap = jnp.take(jnp.asarray(geom.PARTITION_MAP_2.astype(np.int32)),
+                        win_part)
+        owner = [(pmap >> px) & 1 for px in range(16)]
+    else:
+        pmap = jnp.take(jnp.asarray(geom.PARTITION_MAP_3.astype(np.int64)),
+                        win_part)
+        owner = [((pmap >> (2 * px)) & 3).astype(jnp.int32)
+                 for px in range(16)]
+
+    indexes = []
+    for px in range(16):
+        if num_subsets == 1:
+            col = cols_per_subset[0]
+        else:
+            subset_cols = jnp.stack(cols_per_subset, axis=-1)  # [N, subsets]
+            col = jnp.take_along_axis(subset_cols, owner[px][:, None],
+                                      axis=1)[:, 0]
+        indexes.append(jnp.take_along_axis(
+            best.payload["idx"][:, :, px], col[:, None], axis=1)[:, 0])
+
+    rank = mode_pos * 64 + win_part
+    return dict(mode=mode, error=err, rank=rank, partition=win_part, ep=ep,
+                indexes=indexes)
+
+
+# --- Dual-plane search (modes 4/5) -------------------------------------------
+
+def _tweak_alpha(a0, a1, tweak: int, range_: int):
+    """TweakAlpha (BC67.cpp:815-826)."""
+    f0, f1 = lanes.compute_tweak_factors(tweak, range_)
+    base = lanes.to_float(a0)
+    offs = lanes.to_float(a1) - base
+    r0 = lanes.round_and_convert_to_int_nearest(
+        lanes.clamp(base + offs * f0, 0.0, 255.0))
+    r1 = lanes.round_and_convert_to_int_nearest(
+        lanes.clamp(base + offs * f1, 0.0, 255.0))
+    return r0, r1
+
+
+def try_dual_plane(pixels, float_pixels, channel_weights, flags,
+                   plan: BC7EncodingPlan, num_refine_rounds: int):
+    """TryDualPlane (BC67.cpp:1664-1965). Returns candidate dicts."""
+    num_refine_rounds = max(num_refine_rounds, 1)
+    cw = [np.float32(w) for w in channel_weights]
+    cw_sq = [w * w for w in cw]
+    fast_indexing = bool(flags & Flags.BC7_FAST_INDEXING)
+    uniform = bool(flags & Flags.UNIFORM)
+
+    n = pixels[0][0].shape[0]
+    candidates = []
+    seq = 0
+
+    for mode in (4, 5):
+        for rotation in range(4):
+            if mode == 4:
+                num_sp = list(plan.mode4_sp[rotation])
+            else:
+                num_sp = [plan.mode5_sp[rotation]] * 2
+
+            if num_sp[0] == 0 and num_sp[1] == 0:
+                seq += (2 if mode == 4 else 1)
+                continue
+
+            alpha_ch = (rotation + 3) & 3
+            red_ch = 3 if rotation == 1 else 0
+            green_ch = 3 if rotation == 2 else 1
+            blue_ch = 3 if rotation == 3 else 2
+            rgb_chs = (red_ch, green_ch, blue_ch)
+
+            rot_rgb = [[pixels[px][c] for c in rgb_chs] for px in range(16)]
+            rot_frgb = [[float_pixels[px][c] for c in rgb_chs]
+                        for px in range(16)]
+            rot_cw = [cw[c] for c in rgb_chs]
+            rot_cw_sq = [cw_sq[c] for c in rgb_chs]
+            alpha_w_sq = cw_sq[alpha_ch]
+            pw_rot = [[rot_frgb[px][ch] * rot_cw[ch] for ch in range(3)]
+                      for px in range(16)]
+
+            max_isel = 2 if mode == 4 else 1
+            for index_selector in range(max_isel):
+                num_tweak = num_sp[index_selector]
+                this_seq = seq
+                seq += 1
+                if num_tweak <= 0:
+                    continue
+                num_tweak = min(num_tweak, MAX_TWEAK_ROUNDS)
+
+                ones = [jnp.ones((n,), dtype=jnp.float32)] * 16
+                cen, dirn, mn_d, mx_d = pca.endpoint_selector(pw_rot, ones, 3)
+                base, offset = pca.get_endpoints(cen, dirn, mn_d, mx_d,
+                                                 rot_cw, 3)
+
+                alpha_min = pixels[0][alpha_ch]
+                alpha_max = pixels[0][alpha_ch]
+                for px in range(1, 16):
+                    alpha_min = jnp.minimum(pixels[px][alpha_ch], alpha_min)
+                    alpha_max = jnp.maximum(pixels[px][alpha_ch], alpha_max)
+
+                if mode == 4:
+                    rgb_prec = 3 if index_selector else 2
+                    alpha_prec = 2 if index_selector else 3
+                else:
+                    rgb_prec = alpha_prec = 2
+                rgb_range = 1 << rgb_prec
+                alpha_range = 1 << alpha_prec
+
+                rgb_best = LexBest.empty((n,), {"ep": (2, 3), "idx": (16,)})
+                alpha_best = LexBest.empty((n,), {"ep": (2,), "idx": (16,)})
+
+                for tweak in range(num_tweak):
+                    e0, e1 = pca.finish_ldr(base, offset, tweak, rgb_range, 3)
+                    rgb_ep = [list(e0), list(e1)]
+                    a0, a1 = _tweak_alpha(alpha_min, alpha_max, tweak,
+                                          alpha_range)
+                    alpha_ep = [a0, a1]
+
+                    for refine in range(num_refine_rounds):
+                        # CompressEndpoints4/5 (BC67.cpp:908-923)
+                        if mode == 4:
+                            rgb_ep = [_unquantize(_quantize(e, 5, 3), 5, 3)
+                                      for e in rgb_ep]
+                            alpha_ep = [
+                                _unquantize(_quantize([a], 6, 1), 6, 1)[0]
+                                for a in alpha_ep]
+                        else:
+                            rgb_ep = [_unquantize(_quantize(e, 7, 3), 7, 3)
+                                      for e in rgb_ep]
+
+                        rgb_sel = IndexSelector(rot_cw, rgb_ep, rgb_range, 3)
+                        a_sel = IndexSelector([1.0], [[alpha_ep[0]],
+                                                      [alpha_ep[1]]],
+                                              alpha_range, 1)
+                        rgb_refiner = EndpointRefiner(
+                            jnp.zeros((n,), jnp.float32), 3, rgb_range,
+                            rot_cw)
+                        a_refiner = EndpointRefiner(
+                            jnp.zeros((n,), jnp.float32), 1, alpha_range,
+                            [1.0])
+
+                        error_rgb = jnp.zeros((n,), dtype=jnp.float32)
+                        error_a = jnp.zeros((n,), dtype=jnp.float32)
+                        agg_rgb = [jnp.zeros((n,), dtype=jnp.int32)
+                                   for _ in range(3)]
+                        agg_a = jnp.zeros((n,), dtype=jnp.int32)
+
+                        rgb_idx, a_idx = [], []
+                        for px in range(16):
+                            ri = rgb_sel.select_index_ldr(rot_frgb[px])
+                            ai = a_sel.select_index_ldr(
+                                [float_pixels[px][alpha_ch]])
+
+                            if fast_indexing:
+                                rr = rgb_sel.reconstruct_ldr_bc7(ri)
+                                ra = a_sel.reconstruct_ldr_bc7(ai)[0]
+                                for ch in range(3):
+                                    agg_rgb[ch] = agg_rgb[ch] + \
+                                        lanes.sq_diff_int(rr[ch],
+                                                          rot_rgb[px][ch])
+                                agg_a = agg_a + lanes.sq_diff_int(
+                                    ra, pixels[px][alpha_ch])
+                            else:
+                                def rgb_err(iv):
+                                    rr = rgb_sel.reconstruct_ldr_bc7(iv)
+                                    errs = [lanes.sq_diff_int(
+                                        rr[c], rot_rgb[px][c])
+                                        for c in range(3)]
+                                    if uniform:
+                                        t = errs[0] + errs[1]
+                                        t = t + errs[2]
+                                        return lanes.to_float(t)
+                                    t = lanes.to_float(errs[0]) * rot_cw_sq[0]
+                                    for c in range(1, 3):
+                                        t = t + lanes.to_float(
+                                            errs[c]) * rot_cw_sq[c]
+                                    return t
+
+                                def a_err(iv):
+                                    ra = a_sel.reconstruct_ldr_bc7(iv)[0]
+                                    e = lanes.sq_diff_int(
+                                        ra, pixels[px][alpha_ch])
+                                    if uniform:
+                                        return lanes.to_float(e)
+                                    return lanes.to_float(e) * alpha_w_sq
+
+                                re = rgb_err(ri)
+                                ae = a_err(ai)
+                                r_alt = (jnp.maximum(ri, 1) - 1,
+                                         jnp.minimum(ri + 1, rgb_range - 1))
+                                a_alt = (jnp.maximum(ai, 1) - 1,
+                                         jnp.minimum(ai + 1, alpha_range - 1))
+                                for ii in range(2):
+                                    are = rgb_err(r_alt[ii])
+                                    aae = a_err(a_alt[ii])
+                                    rb = are < re
+                                    ab = aae < ae
+                                    re = jnp.minimum(are, re)
+                                    ae = jnp.minimum(aae, ae)
+                                    ri = jnp.where(rb, r_alt[ii], ri)
+                                    ai = jnp.where(ab, a_alt[ii], ai)
+                                error_rgb = error_rgb + re
+                                error_a = error_a + ae
+
+                            if refine != num_refine_rounds - 1:
+                                rgb_refiner.contribute_unweighted_pw(
+                                    pw_rot[px], ri)
+                                a_refiner.contribute_unweighted_pw(
+                                    [float_pixels[px][alpha_ch]], ai)
+                            rgb_idx.append(ri)
+                            a_idx.append(ai)
+
+                        if fast_indexing:
+                            if uniform:
+                                t = agg_rgb[0] + agg_rgb[1]
+                                t = t + agg_rgb[2]
+                                error_rgb = lanes.to_float(t)
+                                error_a = lanes.to_float(agg_a)
+                            else:
+                                error_rgb = lanes.to_float(
+                                    agg_rgb[0]) * rot_cw_sq[0]
+                                for c in range(1, 3):
+                                    error_rgb = error_rgb + lanes.to_float(
+                                        agg_rgb[c]) * rot_cw_sq[c]
+                                error_a = lanes.to_float(agg_a) * alpha_w_sq
+
+                        rank = jnp.full((n,), tweak * num_refine_rounds
+                                        + refine, dtype=jnp.int32)
+                        rgb_best.update(error_rgb, rank, {
+                            "ep": jnp.stack(
+                                [jnp.stack(rgb_ep[e], axis=-1)
+                                 for e in range(2)], axis=-2),
+                            "idx": jnp.stack(rgb_idx, axis=-1)})
+                        alpha_best.update(error_a, rank, {
+                            "ep": jnp.stack(alpha_ep, axis=-1),
+                            "idx": jnp.stack(a_idx, axis=-1)})
+
+                        if refine != num_refine_rounds - 1:
+                            r0, r1 = rgb_refiner.get_refined_endpoints_ldr()
+                            rgb_ep = [list(r0), list(r1)]
+                            aa0, aa1 = a_refiner.get_refined_endpoints_ldr()
+                            alpha_ep = [aa0[0], aa1[0]]
+
+                combined = rgb_best.error + alpha_best.error
+
+                ep = [[[jnp.zeros((n,), dtype=jnp.int32) for _ in range(4)]
+                       for _ in range(2)] for _ in range(3)]
+                for epi in range(2):
+                    for ch in range(3):
+                        ep[0][epi][ch] = rgb_best.payload["ep"][:, epi, ch]
+                    ep[0][epi][3] = alpha_best.payload["ep"][:, epi]
+
+                rgb_indexes = [rgb_best.payload["idx"][:, px]
+                               for px in range(16)]
+                alpha_indexes = [alpha_best.payload["idx"][:, px]
+                                 for px in range(16)]
+                # work.m_indexes gets alpha when indexSelector else RGB
+                # (BC67.cpp:1950-1954)
+                if index_selector:
+                    indexes, indexes2 = alpha_indexes, rgb_indexes
+                else:
+                    indexes, indexes2 = rgb_indexes, alpha_indexes
+
+                candidates.append(dict(
+                    mode=mode, error=combined,
+                    rank=8 * 64 + this_seq, partition=None, ep=ep,
+                    indexes=indexes, indexes2=indexes2,
+                    rotation=rotation, isel=index_selector))
+
+    return candidates
+
+
+# --- Top level ----------------------------------------------------------------
+
+def pack(pixels_u8, flags: int, channel_weights, plan: BC7EncodingPlan,
+         num_refine_rounds: int):
+    """BC7Computer::Pack (BC67.cpp:1975-2204). Returns uint8 [N, 16]."""
+    p = jnp.asarray(pixels_u8, dtype=jnp.int32)
+    n = p.shape[0]
+
+    pixels = [[p[:, px, ch] for ch in range(4)] for px in range(16)]
+    float_pixels = [[lanes.to_float(c) for c in row] for row in pixels]
+    cw = [np.float32(w) for w in channel_weights]
+    pw_pixels = [[float_pixels[px][ch] * cw[ch] for ch in range(4)]
+                 for px in range(16)]
+
+    # alpha classification (BC67.cpp:1054-1078), per lane (scalar semantics)
+    max_alpha = pixels[0][3]
+    min_alpha = pixels[0][3]
+    is_pt = (pixels[0][3] == 0) | (pixels[0][3] == 255)
+    for px in range(1, 16):
+        a = pixels[px][3]
+        max_alpha = jnp.maximum(max_alpha, a)
+        min_alpha = jnp.minimum(min_alpha, a)
+        is_pt = is_pt & ((a == 0) | (a == 255))
+    alpha_info = dict(
+        has_non_max_alpha=min_alpha < 255,
+        has_non_zero_alpha=max_alpha > 0,
+        allow_rgb=min_alpha > 250,
+        is_punch_through=is_pt,
+    )
+
+    sp = try_single_plane(pixels, float_pixels, pw_pixels, channel_weights,
+                          flags, plan, num_refine_rounds, alpha_info)
+    dp = try_dual_plane(pixels, float_pixels, channel_weights, flags, plan,
+                        num_refine_rounds)
+
+    # merge all candidates lexicographically (= the reference's sequential
+    # strict-improvement update over TrySinglePlane then TryDualPlane)
+    zero = jnp.zeros((n,), dtype=jnp.int32)
+    work = dict(
+        error=jnp.full((n,), lanes.FLT_MAX, dtype=jnp.float32),
+        rank=jnp.full((n,), BIG_RANK, dtype=jnp.int32),
+        mode=zero, partition=zero, rotation=zero, isel=zero,
+        ep=[[[zero for _ in range(4)] for _ in range(2)] for _ in range(3)],
+        indexes=[zero] * 16, indexes2=[zero] * 16,
+    )
+
+    for cand in sp + dp:
+        rank = cand["rank"] if isinstance(cand["rank"], jnp.ndarray) \
+            else jnp.full((n,), cand["rank"], dtype=jnp.int32)
+        better = (cand["error"] < work["error"]) | (
+            (cand["error"] == work["error"]) & (rank < work["rank"]))
+        work["error"] = jnp.where(better, cand["error"], work["error"])
+        work["rank"] = jnp.where(better, rank, work["rank"])
+        work["mode"] = jnp.where(better, cand["mode"], work["mode"])
+        if cand.get("partition") is not None:
+            work["partition"] = jnp.where(better, cand["partition"],
+                                          work["partition"])
+            # reference: m_partition and m_isr share a union; dual-plane
+            # writes rotation/isel into the same storage
+        if "rotation" in cand:
+            work["isel"] = jnp.where(better, cand["isel"], work["isel"])
+            work["rotation"] = jnp.where(better, cand["rotation"],
+                                         work["rotation"])
+            work["partition"] = jnp.where(better, 0, work["partition"])
+        else:
+            work["isel"] = jnp.where(better, 0, work["isel"])
+            work["rotation"] = jnp.where(better, 0, work["rotation"])
+        for s in range(3):
+            for e in range(2):
+                for ch in range(4):
+                    src = cand["ep"][s][e][ch]
+                    work["ep"][s][e][ch] = jnp.where(better, src,
+                                                     work["ep"][s][e][ch])
+        for px in range(16):
+            work["indexes"][px] = jnp.where(better, cand["indexes"][px],
+                                            work["indexes"][px])
+            i2 = cand.get("indexes2")
+            if i2 is not None:
+                work["indexes2"][px] = jnp.where(better, i2[px],
+                                                 work["indexes2"][px])
+
+    return _pack_bits(work, n)
+
+
+# --- Bit packing (BC67.cpp:2003-2203) -----------------------------------------
+
+def _pack_var(words, value, offset, bits: int):
+    """Append `value` (bits wide) at variable bit `offset` into 4 i32 words."""
+    for j in range(4):
+        sh = offset - 32 * j
+        in_lo = (sh >= 0) & (sh < 32)
+        in_hi = (sh < 0) & (sh > -bits)
+        lo = jnp.where(in_lo, value << jnp.clip(sh, 0, 31), 0)
+        hi = jnp.where(in_hi, value >> jnp.clip(-sh, 0, 31), 0)
+        words[j] = words[j] | lo | hi
+    return words
+
+
+def _pack_mode_bits(mode: int, work, n):
+    """Pack all blocks under `mode`'s layout; returns 4 [N] i32 words."""
+    info = MODE_INFO[mode]
+    num_subsets = info["num_subsets"]
+    ib = info["index_bits"]
+    aib = info["alpha_index_bits"]
+    separate = info["alpha"] == "separate"
+    combined = info["alpha"] == "combined"
+
+    partition = work["partition"]
+    indexes = list(work["indexes"])
+    indexes2 = list(work["indexes2"])
+    # endpoints as [subset][ep][ch] copies
+    ep = [[[work["ep"][s][e][ch] for ch in range(4)] for e in range(2)]
+          for s in range(3)]
+
+    if separate:
+        flip_rgb = (indexes[0] & (1 << (ib - 1))) != 0
+        flip_alpha = (indexes2[0] & (1 << (aib - 1))) != 0
+        hi_rgb = (1 << ib) - 1
+        hi_a = (1 << aib) - 1
+        indexes = [jnp.where(flip_rgb, hi_rgb - v, v) for v in indexes]
+        indexes2 = [jnp.where(flip_alpha, hi_a - v, v) for v in indexes2]
+        if info["has_index_selector"]:
+            isel = work["isel"] != 0
+            flip_rgb, flip_alpha = (
+                jnp.where(isel, flip_alpha, flip_rgb),
+                jnp.where(isel, flip_rgb, flip_alpha))
+        for ch in range(3):
+            a, b = ep[0][0][ch], ep[0][1][ch]
+            ep[0][0][ch] = jnp.where(flip_rgb, b, a)
+            ep[0][1][ch] = jnp.where(flip_rgb, a, b)
+        a, b = ep[0][0][3], ep[0][1][3]
+        ep[0][0][3] = jnp.where(flip_alpha, b, a)
+        ep[0][1][3] = jnp.where(flip_alpha, a, b)
+        fix1 = jnp.zeros((n,), dtype=jnp.int32)
+        fix2 = jnp.zeros((n,), dtype=jnp.int32)
+    else:
+        if num_subsets == 2:
+            fix1 = jnp.take(jnp.asarray(geom.FIXUP_INDEXES_2), partition)
+            fix2 = jnp.zeros((n,), dtype=jnp.int32)
+        elif num_subsets == 3:
+            fix1 = jnp.take(jnp.asarray(geom.FIXUP_INDEXES_3[:, 0]),
+                            partition)
+            fix2 = jnp.take(jnp.asarray(geom.FIXUP_INDEXES_3[:, 1]),
+                            partition)
+        else:
+            fix1 = jnp.zeros((n,), dtype=jnp.int32)
+            fix2 = jnp.zeros((n,), dtype=jnp.int32)
+
+        # owner subset per pixel
+        if num_subsets == 2:
+            pmap = jnp.take(jnp.asarray(geom.PARTITION_MAP_2.astype(
+                np.int32)), partition)
+            owner = [(pmap >> px) & 1 for px in range(16)]
+        elif num_subsets == 3:
+            pmap = jnp.take(jnp.asarray(geom.PARTITION_MAP_3), partition)
+            owner = [((pmap >> (2 * px)) & 3).astype(jnp.int32)
+                     for px in range(16)]
+        else:
+            owner = [jnp.zeros((n,), dtype=jnp.int32)] * 16
+
+        hi_idx = (1 << ib) - 1
+        fixups = [jnp.zeros((n,), dtype=jnp.int32), fix1, fix2]
+        flips = []
+        for subset in range(3):
+            if subset < num_subsets:
+                fx = fixups[subset]
+                stack = jnp.stack(indexes, axis=-1)
+                idx_at_fix = jnp.take_along_axis(stack, fx[:, None],
+                                                 axis=1)[:, 0]
+                flips.append((idx_at_fix & (1 << (ib - 1))) != 0)
+            else:
+                flips.append(jnp.zeros((n,), dtype=bool))
+        flips_stack = jnp.stack(flips, axis=-1)
+        for px in range(16):
+            f = jnp.take_along_axis(flips_stack, owner[px][:, None],
+                                    axis=1)[:, 0]
+            indexes[px] = jnp.where(f, hi_idx - indexes[px], indexes[px])
+        max_ch = 4 if combined else 3
+        for subset in range(num_subsets):
+            for ch in range(max_ch):
+                a, b = ep[subset][0][ch], ep[subset][1][ch]
+                ep[subset][0][ch] = jnp.where(flips[subset], b, a)
+                ep[subset][1][ch] = jnp.where(flips[subset], a, b)
+
+    words = [jnp.zeros((n,), dtype=jnp.int32) for _ in range(4)]
+    off = 0
+
+    def pack_static(value, bits):
+        nonlocal off, words
+        if bits == 0:
+            return
+        j = off // 32
+        sh = off % 32
+        words[j] = words[j] | ((value << sh) if sh < 32 else 0)
+        if sh + bits > 32:
+            words[j + 1] = words[j + 1] | (value >> (32 - sh))
+        off += bits
+
+    pack_static(jnp.full((n,), 1 << mode, dtype=jnp.int32), mode + 1)
+    if info["partition_bits"]:
+        pack_static(partition, info["partition_bits"])
+    if separate:
+        pack_static(work["rotation"], 2)
+    if info["has_index_selector"]:
+        pack_static(work["isel"], 1)
+
+    rgb_bits = info["rgb_bits"]
+    for ch in range(3):
+        for subset in range(num_subsets):
+            for e in range(2):
+                pack_static(ep[subset][e][ch] >> (8 - rgb_bits), rgb_bits)
+    alpha_bits = info["alpha_bits"]
+    if alpha_bits:
+        for subset in range(num_subsets):
+            for e in range(2):
+                pack_static(ep[subset][e][3] >> (8 - alpha_bits), alpha_bits)
+
+    if info["pbit"] == "per_subset":
+        for subset in range(num_subsets):
+            pack_static((ep[subset][0][0] >> (7 - rgb_bits)) & 1, 1)
+    elif info["pbit"] == "per_ep":
+        for subset in range(num_subsets):
+            for e in range(2):
+                pack_static((ep[subset][e][0] >> (7 - rgb_bits)) & 1, 1)
+
+    # index fields: widths depend on data (fixup positions), so offsets are
+    # computed per block
+    base_off = jnp.full((n,), off, dtype=jnp.int32)
+    cum = jnp.zeros((n,), dtype=jnp.int32)
+    for px in range(16):
+        offset = base_off + cum
+        words = _pack_var(words, indexes[px], offset, ib)
+        width = ib - ((px == 0) * 1) \
+            - jnp.where((fix1 == px) & (px != 0), 1, 0) \
+            - jnp.where((fix2 == px) & (px != 0), 1, 0)
+        cum = cum + width
+
+    if separate:
+        off2 = base_off + cum
+        for px in range(16):
+            words = _pack_var(words, indexes2[px], off2, aib)
+            off2 = off2 + (aib - (1 if px == 0 else 0))
+
+    return words
+
+
+def _pack_bits(work, n):
+    """Select each block's packed words by its winning mode; emit bytes."""
+    words_by_mode = {m: _pack_mode_bits(m, work, n) for m in range(8)}
+    final = [jnp.zeros((n,), dtype=jnp.int32) for _ in range(4)]
+    for m in range(8):
+        sel = work["mode"] == m
+        for j in range(4):
+            final[j] = jnp.where(sel, words_by_mode[m][j], final[j])
+
+    byte_cols = []
+    for j in range(4):
+        for b in range(4):
+            byte_cols.append((final[j] >> (b * 8)) & 0xFF)
+    return jnp.stack(byte_cols, axis=-1).astype(jnp.uint8)
