@@ -156,6 +156,30 @@ def _bc7_fn(options: Options, plan):
     return jax.jit(fn)
 
 
+@functools.lru_cache(maxsize=None)
+def _bc6h_fn(options: Options, signed: bool):
+    from .models import bc6h
+
+    cw = options.channel_weights()
+
+    def fn(pixels):
+        return bc6h.pack(pixels, options.flags, cw, signed,
+                         options.seed_points, options.refine_rounds_bc6h)
+
+    return jax.jit(fn)
+
+
+def encode_bc6hu(pixels, options: Options = Options()):
+    """Kernels::EncodeBC6HU (API.cpp:56-69): unsigned HDR. [N,16,4] f16-bits
+    (int16) -> [N,16]."""
+    return _bc6h_fn(options, False)(jnp.asarray(pixels, dtype=jnp.int16))
+
+
+def encode_bc6hs(pixels, options: Options = Options()):
+    """Kernels::EncodeBC6HS (API.cpp:71-84): signed HDR."""
+    return _bc6h_fn(options, True)(jnp.asarray(pixels, dtype=jnp.int16))
+
+
 def encode_bc7(pixels, options: Options = Options(), plan=None, quality=None):
     """Kernels::EncodeBC7 (API.cpp:41-54). -> [N,16].
 
@@ -167,3 +191,66 @@ def encode_bc7(pixels, options: Options = Options(), plan=None, quality=None):
         plan = (bc7_plan.plan_from_quality(quality) if quality is not None
                 else bc7_plan.BC7EncodingPlan())
     return _bc7_fn(options, plan)(_as_block_array(pixels))
+
+
+@functools.lru_cache(maxsize=None)
+def _etc_fn(options: Options, kind: str):
+    from .models import etc
+
+    def fn(pixels):
+        if kind == "etc1":
+            return etc.compress_etc1(pixels, options)
+        if kind == "etc2":
+            return etc.compress_etc2(pixels, options, False)
+        if kind == "etc2_pt":
+            return etc.compress_etc2(pixels, options, True)
+        if kind == "etc2_alpha":
+            return etc.compress_etc2_alpha(pixels, options)
+        if kind == "etc2_rgba":
+            color = etc.compress_etc2(pixels, options, False)
+            alpha = etc.compress_etc2_alpha(pixels, options)
+            return jnp.concatenate([alpha, color], axis=-1)
+        raise ValueError(kind)
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def _eac_fn(options: Options, signed: bool):
+    from .models import etc
+
+    def fn(pixels):
+        return etc.compress_eac11(pixels, signed, options)
+
+    return jax.jit(fn)
+
+
+def encode_etc1(pixels, options: Options = Options()):
+    """Kernels::EncodeETC1 (API.cpp:201-214). -> [N,8]."""
+    return _etc_fn(options, "etc1")(_as_block_array(pixels))
+
+
+def encode_etc2(pixels, options: Options = Options()):
+    """Kernels::EncodeETC2 (API.cpp:216-229). -> [N,8]."""
+    return _etc_fn(options, "etc2")(_as_block_array(pixels))
+
+
+def encode_etc2_rgba(pixels, options: Options = Options()):
+    """Kernels::EncodeETC2RGBA (API.cpp:270-286). -> [N,16]."""
+    return _etc_fn(options, "etc2_rgba")(_as_block_array(pixels))
+
+
+def encode_etc2_punchthrough(pixels, options: Options = Options()):
+    """Kernels::EncodeETC2PunchthroughAlpha (API.cpp:231-244). -> [N,8]."""
+    return _etc_fn(options, "etc2_pt")(_as_block_array(pixels))
+
+
+def encode_etc2_alpha(pixels, options: Options = Options()):
+    """Kernels::EncodeETC2Alpha (API.cpp:246-257). -> [N,8]."""
+    return _etc_fn(options, "etc2_alpha")(_as_block_array(pixels))
+
+
+def encode_eac11(pixels, signed: bool = False,
+                 options: Options = Options()):
+    """Kernels::EncodeETC2Alpha11 (API.cpp:259-268): [N,16] i16 -> [N,8]."""
+    return _eac_fn(options, signed)(jnp.asarray(pixels, dtype=jnp.int16))

@@ -1,0 +1,626 @@
+"""BC6H HDR encoder.
+
+TPU-native reimplementation of the reference's BC6HComputer
+(/root/reference/ConvectionKernels_BC67.cpp:2447-3051), redesigned for dense
+batched evaluation: partitions and subsets are array axes; the meta-round
+chain (tweak x refine, BC67.cpp:2794-2911) stays sequential because the
+endpoint-dedup check couples rounds in visitation order; the meta0 x meta1 x
+mode legality cross-product (BC67.cpp:2914-2986) is a fully vectorized
+candidate tensor resolved by lexicographic (error, visitation-rank) argmin.
+
+All float math follows the scalar reference build (see ops/lanes.py and
+ops/exact_math.py); HDR values use the internal two's-complement half
+representation (2CL) with the scalar build's magnitude-only linearization.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import lanes, pca
+from ..ops.exact_math import exact_divide
+from ..ops.refine import EndpointRefiner
+from ..options import Flags
+from ..tables import bc6h_layout
+from ..tables import bc7_geometry as geom
+from .bc7 import (INF, LexBest, _gather_last, _ordered_argmin, _pack_var)
+from ..ops.index_select import WEIGHT_RECIPROCALS
+
+MAX_TWEAK_ROUNDS = 4   # BC67.h:86
+MAX_REFINE_ROUNDS = 3  # BC67.h:87
+
+# g_hdrModes (BC67.cpp:151-167): (modeID, partitioned, transformed, aPrec,
+# bPrec[3]) in table order — mode indexes match bc6h_layout.LAYOUTS.
+HDR_MODES = (
+    (0x00, True, True, 10, (5, 5, 5)),
+    (0x01, True, True, 7, (6, 6, 6)),
+    (0x02, True, True, 11, (5, 4, 4)),
+    (0x06, True, True, 11, (4, 5, 4)),
+    (0x0A, True, True, 11, (4, 4, 5)),
+    (0x0E, True, True, 9, (5, 5, 5)),
+    (0x12, True, True, 8, (6, 5, 5)),
+    (0x16, True, True, 8, (5, 6, 5)),
+    (0x1A, True, True, 8, (5, 5, 6)),
+    (0x1E, True, False, 6, (6, 6, 6)),
+    (0x03, False, False, 10, (10, 10, 10)),
+    (0x07, False, True, 11, (9, 9, 9)),
+    (0x0B, False, True, 12, (8, 8, 8)),
+    (0x0F, False, True, 16, (4, 4, 4)),
+)
+
+
+def _unscale_hdr_signed(v):
+    """UnscaleHDRValueSigned (BC67.cpp:765-781): |v|*31>>5 with 2CL sign."""
+    negative = v < 0
+    abs_v = jnp.where(negative, -v, v)
+    scaled = (abs_v * 31) >> 5
+    return jnp.where(negative, scaled | (-32768), scaled)
+
+
+def _unscale_hdr_unsigned(v):
+    """UnscaleHDRValueUnsigned (BC67.cpp:783-786): v*31>>6."""
+    return (v * 31) >> 6
+
+
+def _quantize_element(v2cl, precision: int, is_signed: bool):
+    """QuantizeSingleEndpointElement{Signed,Unsigned} (BC67.cpp:2424-2445).
+
+    Uses RoundUp (ceil) conversion; division by 31 is exactly rounded.
+    """
+    if is_signed:
+        negative = v2cl < 0
+        abs_elem = jnp.where(negative, -v2cl, v2cl)
+        f = exact_divide(lanes.to_float(abs_elem) * np.float32(32.0),
+                         np.float32(31.0))
+        q = lanes.round_up_to_int(f) >> (16 - precision)
+        return jnp.where(negative, -q, q)
+    f = exact_divide(lanes.to_float(v2cl) * np.float32(64.0), np.float32(31.0))
+    f = jnp.minimum(f, np.float32(65535.0))
+    return lanes.round_up_to_int(f) >> (16 - precision)
+
+
+def _unquantize_element(comp, precision: int, is_signed: bool):
+    """UnquantizeSingleEndpointElement{Signed,Unsigned} (BC67.cpp:2447-2502).
+
+    Returns (unquantized, finished) int32 arrays.
+    """
+    if is_signed:
+        negative = comp < 0
+        abs_comp = jnp.where(negative, -comp, comp)
+        if precision >= 16:
+            unq = comp
+            abs_unq = abs_comp
+        else:
+            max_comp_m1 = (1 << (precision - 1)) - 2
+            is_zero = comp == 0
+            is_max = comp > max_comp_m1
+            abs_unq = (abs_comp << (16 - precision)) + (0x4000
+                                                        >> (precision - 1))
+            abs_unq = jnp.where(is_zero, 0, abs_unq)
+            abs_unq = jnp.where(is_max, 0x7FFF, abs_unq)
+            unq = jnp.where(negative, -abs_unq, abs_unq)
+        funq = (abs_unq * 31) >> 5
+        finished = jnp.where(negative, -funq, funq)
+        return unq, finished
+    unq = comp
+    if precision < 15:
+        max_comp_m1 = (1 << precision) - 2
+        is_zero = comp == 0
+        is_max = comp > max_comp_m1
+        unq = (comp << (16 - precision)) + (0x8000 >> precision)
+        unq = jnp.where(is_zero, 0, unq)
+        unq = jnp.where(is_max, 0xFFFF, unq)
+    finished = (unq * 31) >> 6
+    return unq, finished
+
+
+class _HDRIndexSelector:
+    """IndexSelectorHDR<3> (ConvectionKernels_IndexSelectorHDR.h:15-151)."""
+
+    def __init__(self, channel_weights, unquantized_ep, finished_ep,
+                 index_range: int, is_signed: bool, fast_indexing: bool):
+        self.range = index_range
+        self.max_value = np.float32(index_range - 1)
+        self.is_signed = is_signed
+        self.endpoints = unquantized_ep  # interpolation space
+        cw = [np.float32(w) for w in channel_weights[:3]]
+
+        # base-class Init with colorSpaceEndpoints = finished EPs
+        self.origin = [lanes.to_float(finished_ep[0][ch]) for ch in range(3)]
+        diff_w = [(lanes.to_float(finished_ep[1][ch]) - self.origin[ch])
+                  * cw[ch] for ch in range(3)]
+        len_sq = diff_w[0] * diff_w[0]
+        for ch in range(1, 3):
+            len_sq = len_sq + diff_w[ch] * diff_w[ch]
+        len_sq = lanes.make_safe_denominator(len_sq)
+        mv = exact_divide(jnp.full_like(len_sq, self.max_value), len_sq)
+        self.axis = [diff_w[ch] * cw[ch] * mv for ch in range(3)]
+
+        self.inverted = None  # per-lane flag, set by conditional_invert
+
+        if not fast_indexing:
+            # precompute all interpolants in weighted-linear space
+            # (InitHDR, IndexSelectorHDR.h:84-108) — batched over the range
+            idx = jnp.arange(index_range, dtype=jnp.int32)
+            shape = unquantized_ep[0][0].shape
+            idx = idx.reshape((1,) * len(shape) + (index_range,))
+            recon = self._reconstruct_uninverted(
+                [unquantized_ep[e][ch][..., None] for e in range(2)
+                 for ch in range(3)], idx)
+            self.interpolators = [lanes.to_float(recon[ch]) * cw[ch]
+                                  for ch in range(3)]
+
+    def _reconstruct_uninverted(self, ep_flat, index):
+        """ReconstructHDR{Signed,Unsigned}Uninverted (IndexSelectorHDR.h:34-67)."""
+        recip = WEIGHT_RECIPROCALS[self.range]
+        weight = (recip * index + 256) >> 9
+        out = []
+        for ch in range(3):
+            ep0 = ep_flat[ch]
+            ep1 = ep_flat[3 + ch]
+            px32 = (64 - weight) * ep0 + weight * ep1
+            px32 = (px32 + 32) >> 6
+            if self.is_signed:
+                out.append(_unscale_hdr_signed(px32))
+            else:
+                out.append(_unscale_hdr_unsigned(px32))
+        return out
+
+    def reconstruct(self, index):
+        idx = self.invert_single(index)
+        ep_flat = [self.endpoints[0][ch] for ch in range(3)] + \
+            [self.endpoints[1][ch] for ch in range(3)]
+        return self._reconstruct_uninverted(ep_flat, idx)
+
+    def invert_single(self, index):
+        if self.inverted is None:
+            return index
+        return jnp.where(self.inverted, (self.range - 1) - index, index)
+
+    def conditional_invert(self, invert):
+        self.inverted = invert
+
+    def select_slow(self, linear_weighted_pixel):
+        """SelectIndexHDRSlow (IndexSelectorHDR.h:125-139): argmin over
+        interpolants, first-wins ties (strict-less update)."""
+        err = None
+        for ch in range(3):
+            d = linear_weighted_pixel[ch][..., None] - self.interpolators[ch]
+            e = d * d
+            err = e if err is None else err + e
+        # sequential strict-less == first-occurrence argmin over index order
+        idx = jnp.argmin(err, axis=-1).astype(jnp.int32)
+        return self.invert_single(idx)
+
+    def select_fast(self, pixel_2cl):
+        """SelectIndexHDRFast = base SelectIndexLDR + inversion."""
+        dist = (pixel_2cl[0] - self.origin[0]) * self.axis[0]
+        for ch in range(1, 3):
+            dist = dist + (pixel_2cl[ch] - self.origin[ch]) * self.axis[ch]
+        idx = lanes.round_and_convert_to_int_nearest(
+            lanes.clamp(dist, 0.0, self.max_value))
+        return self.invert_single(idx)
+
+
+def _truncate_signed(v, precision: int):
+    """Scalar TruncateToPrecisionSigned (ParallelMath.h:1410-1414)."""
+    shift = 32 - precision
+    return (v << shift) >> shift
+
+
+def pack(pixels_f16bits, flags: int, channel_weights, is_signed: bool,
+         num_tweak_rounds: int, num_refine_rounds: int):
+    """BC6HComputer::Pack (BC67.cpp:2665-3051). Returns uint8 [N, 16].
+
+    pixels_f16bits: int16-bits [N, 16, 4] (alpha ignored).
+    """
+    num_tweak_rounds = min(max(num_tweak_rounds, 1), MAX_TWEAK_ROUNDS)
+    num_refine_rounds = min(max(num_refine_rounds, 1), MAX_REFINE_ROUNDS)
+    fast_indexing = bool(flags & Flags.BC6H_FAST_INDEXING)
+    uniform = bool(flags & Flags.UNIFORM)
+
+    p = jnp.asarray(pixels_f16bits, dtype=jnp.int16).astype(jnp.int32)
+    n = p.shape[0]
+    cw = [np.float32(w) for w in channel_weights[:3]]
+    cw_sq = [w * w for w in cw]
+
+    # sign+magnitude -> 2CL, clamp (BC67.cpp:2691-2715)
+    pixels = []
+    f2cl = []
+    flinw = []
+    for px in range(16):
+        row, frow, lrow = [], [], []
+        for ch in range(3):
+            v = p[:, px, ch]
+            if is_signed:
+                negative = v < 0
+                magnitude = v & 32767
+                v = jnp.where(negative, -magnitude, v)
+                v = jnp.maximum(v, -31743)
+            else:
+                v = jnp.maximum(v, 0)
+            v = jnp.minimum(v, 31743)
+            row.append(v)
+            frow.append(lanes.to_float(v))
+            lrow.append(lanes.twoscl_half_to_float(v) * cw[ch])
+        pixels.append(row)
+        f2cl.append(frow)
+        flinw.append(lrow)
+
+    pw_pixels = [[f2cl[px][ch] * cw[ch] for ch in range(3)]
+                 for px in range(16)]
+
+    # PCA over 65 pixel sets: 32 partitions x 2 subsets + full block
+    # (BC67.cpp:2736-2774), batched as one [N, 65] run.
+    masks = np.zeros((65, 16), dtype=bool)
+    for part in range(32):
+        bits = int(geom.PARTITION_MAP_2[part])
+        for px in range(16):
+            subset = (bits >> px) & 1
+            masks[part * 2 + subset, px] = True
+    masks[64, :] = True
+
+    pw_b = [[pw_pixels[px][ch][:, None] for ch in range(3)]
+            for px in range(16)]
+    weights = [jnp.asarray(masks[:, px][None, :].astype(np.float32))
+               for px in range(16)]
+    member = [jnp.asarray(masks[:, px][None, :]) for px in range(16)]
+    cen, dirn, mn_d, mx_d = pca.endpoint_selector(pw_b, weights, 3,
+                                                  member_mask=member)
+    ufep_base, ufep_offset = pca.get_endpoints(cen, dirn, mn_d, mx_d, cw, 3)
+
+    # precision groups in visitation order: single modes first
+    # (partitionedInt 0), aPrec descending (BC67.cpp:2776-2784)
+    groups = []
+    for partitioned_int in range(2):
+        partitioned = partitioned_int == 1
+        precs = sorted({m[3] for m in HDR_MODES if m[1] == partitioned},
+                       reverse=True)
+        for aprec in precs:
+            modes = [i for i, m in enumerate(HDR_MODES)
+                     if m[1] == partitioned and m[3] == aprec]
+            groups.append((partitioned, aprec, modes))
+
+    best = LexBest.empty((n,), {
+        "mode": (), "partition": (),
+        "ep": (2, 2, 3),     # [subset][epi][ch] encoded values
+        "idx": (16,),
+    })
+
+    rank_base = 0
+    max_meta = MAX_TWEAK_ROUNDS * MAX_REFINE_ROUNDS
+
+    for partitioned, aprec, mode_list in groups:
+        num_parts = 32 if partitioned else 1
+        num_subsets = 2 if partitioned else 1
+        index_bits = 3 if partitioned else 4
+        index_range = 1 << index_bits
+
+        # per-(partition,subset) UFEP columns
+        if partitioned:
+            cols = np.asarray([[2 * pp, 2 * pp + 1] for pp in range(32)],
+                              dtype=np.int32)  # [P, 2]
+        else:
+            cols = np.asarray([[64]], dtype=np.int32)
+
+        # subset membership per pixel: [P, S, 16]
+        sub_mask = np.zeros((num_parts, num_subsets, 16), dtype=bool)
+        fixups = np.zeros((num_parts, num_subsets), dtype=np.int32)
+        for pp in range(num_parts):
+            if partitioned:
+                bits = int(geom.PARTITION_MAP_2[pp])
+                for px in range(16):
+                    sub_mask[pp, (bits >> px) & 1, px] = True
+                fixups[pp, 1] = int(geom.FIXUP_INDEXES_2[pp])
+            else:
+                sub_mask[pp, 0, :] = True
+
+        base = [jnp.take(ufep_base[ch], jnp.asarray(cols.reshape(-1)),
+                         axis=1).reshape(n, num_parts, num_subsets)
+                for ch in range(3)]
+        offset = [jnp.take(ufep_offset[ch], jnp.asarray(cols.reshape(-1)),
+                           axis=1).reshape(n, num_parts, num_subsets)
+                  for ch in range(3)]
+
+        shape_ps = (n, num_parts, num_subsets)
+        zero_f = jnp.zeros(shape_ps, dtype=jnp.float32)
+
+        meta_eps = []       # per metaRound: [2][3] arrays [N,P,S]
+        meta_indexes = []   # per metaRound: 16 arrays [N,P,S]
+        meta_error = []     # per metaRound: [N,P,S]
+        meta_valid = []     # per metaRound: [N,P,S] bool
+
+        member_ps = [jnp.asarray(sub_mask[None, :, :, px])
+                     for px in range(16)]
+        fix_arr = jnp.asarray(fixups[None, :, :])  # [1,P,S]
+
+        for tweak in range(MAX_TWEAK_ROUNDS):
+            refiner = EndpointRefiner(zero_f, 3, index_range, cw)
+            for refine_pass in range(MAX_REFINE_ROUNDS):
+                meta_round = tweak * MAX_REFINE_ROUNDS + refine_pass
+                if tweak >= num_tweak_rounds or refine_pass >= num_refine_rounds:
+                    meta_eps.append(None)
+                    meta_indexes.append(None)
+                    meta_error.append(None)
+                    meta_valid.append(jnp.zeros(shape_ps, dtype=bool))
+                    continue
+
+                if refine_pass == 0:
+                    f0, f1 = lanes.compute_tweak_factors(tweak, index_range)
+                    lo = -31743.0 if is_signed else 0.0
+                    eps_cs = [[], []]
+                    for ch in range(3):
+                        e0 = lanes.round_and_convert_to_int_nearest(
+                            lanes.clamp(base[ch] + offset[ch] * f0, lo,
+                                        31743.0))
+                        e1 = lanes.round_and_convert_to_int_nearest(
+                            lanes.clamp(base[ch] + offset[ch] * f1, lo,
+                                        31743.0))
+                        eps_cs[0].append(e0)
+                        eps_cs[1].append(e1)
+                else:
+                    r0, r1 = refiner.get_refined_endpoints_hdr(is_signed)
+                    eps_cs = [r0, r1]
+
+                refiner = EndpointRefiner(zero_f, 3, index_range, cw)
+
+                # Quantize + unquantize (QuantizeEndpoints*, BC67.cpp:2503-2595)
+                q_eps = [[], []]
+                unq = [[], []]
+                fin = [[], []]
+                for epi in range(2):
+                    for ch in range(3):
+                        q = _quantize_element(eps_cs[epi][ch], aprec,
+                                              is_signed)
+                        u, f = _unquantize_element(q, aprec, is_signed)
+                        q_eps[epi].append(q)
+                        unq[epi].append(u)
+                        fin[epi].append(f)
+
+                selector = _HDRIndexSelector(cw, unq, fin, index_range,
+                                             is_signed, fast_indexing)
+
+                fix_b = jnp.broadcast_to(fix_arr, shape_ps)
+
+                # gather fixup pixel values: fix index is static per (P,S)
+                fix_pix_2cl = []
+                fix_pix_lin = []
+                for ch in range(3):
+                    vals_2cl = jnp.stack([f2cl[px][ch] for px in range(16)],
+                                         axis=0)  # [16, N]
+                    vals_lin = jnp.stack([flinw[px][ch] for px in range(16)],
+                                         axis=0)
+                    sel = jnp.asarray(fixups)  # [P,S] static
+                    g2 = vals_2cl[sel]  # [P,S,N]
+                    gl = vals_lin[sel]
+                    fix_pix_2cl.append(jnp.moveaxis(g2, -1, 0))  # [N,P,S]
+                    fix_pix_lin.append(jnp.moveaxis(gl, -1, 0))
+
+                if fast_indexing:
+                    fix_index = selector.select_fast(fix_pix_2cl)
+                else:
+                    fix_index = selector.select_slow(fix_pix_lin)
+
+                half_range_m1 = index_range // 2 - 1
+                invert = fix_index > half_range_m1
+                fix_index = jnp.where(invert, (index_range - 1) - fix_index,
+                                      fix_index)
+                selector.conditional_invert(invert)
+                for ch in range(3):
+                    a, b = q_eps[0][ch], q_eps[1][ch]
+                    q_eps[0][ch] = jnp.where(invert, b, a)
+                    q_eps[1][ch] = jnp.where(invert, a, b)
+
+                # dedup vs previous meta rounds (BC67.cpp:2853-2877)
+                valid = jnp.ones(shape_ps, dtype=bool)
+                for prev in range(meta_round):
+                    if meta_eps[prev] is None:
+                        continue
+                    same = jnp.ones(shape_ps, dtype=bool)
+                    for epi in range(2):
+                        for ch in range(3):
+                            same = same & (meta_eps[prev][epi][ch]
+                                           == q_eps[epi][ch])
+                    valid = valid & ~same
+
+                # index selection + error over subset pixels
+                indexes = []
+                subset_error = zero_f
+                for px in range(16):
+                    is_fix = fix_b == px
+                    if fast_indexing:
+                        idx = selector.select_fast(
+                            [f2cl[px][ch][:, None, None] for ch in range(3)])
+                    else:
+                        idx = selector.select_slow(
+                            [flinw[px][ch][:, None, None] for ch in range(3)])
+                    idx = jnp.where(is_fix, fix_index, idx)
+                    recon = selector.reconstruct(idx)
+                    if fast_indexing:
+                        err = None
+                        for ch in range(3):
+                            d = recon[ch] - pixels[px][ch][:, None, None]
+                            e = lanes.to_float(d * d)
+                            if not uniform:
+                                e = e * cw_sq[ch]
+                            err = e if err is None else err + e
+                    else:
+                        err = None
+                        for ch in range(3):
+                            fa = lanes.twoscl_half_to_float(recon[ch])
+                            fb = lanes.twoscl_half_to_float(
+                                pixels[px][ch][:, None, None])
+                            d = fa - fb
+                            e = d * d
+                            if not uniform:
+                                e = e * cw_sq[ch]
+                            err = e if err is None else err + e
+                    subset_error = subset_error + jnp.where(
+                        member_ps[px], err, np.float32(0.0))
+                    if refine_pass != num_refine_rounds - 1:
+                        refiner.contribute_unweighted_pw(
+                            [pw_pixels[px][ch][:, None, None]
+                             for ch in range(3)], idx,
+                            mask=member_ps[px] & valid)
+                    indexes.append(idx)
+
+                meta_eps.append(q_eps)
+                meta_indexes.append(indexes)
+                meta_error.append(subset_error)
+                meta_valid.append(valid)
+
+        # --- combine meta0 x meta1 x first-legal-mode (BC67.cpp:2914-2986) ---
+        num_meta1 = max_meta if partitioned else 1
+
+        for meta0 in range(max_meta):
+            if meta_eps[meta0] is None:
+                continue
+            for meta1 in range(num_meta1):
+                if partitioned and meta_eps[meta1] is None:
+                    continue
+                err0 = meta_error[meta0][:, :, 0]
+                val = meta_valid[meta0][:, :, 0]
+                ep_s0 = [[meta_eps[meta0][e][ch][:, :, 0] for ch in range(3)]
+                         for e in range(2)]
+                if partitioned:
+                    err = err0 + meta_error[meta1][:, :, 1]
+                    val = val & meta_valid[meta1][:, :, 1]
+                    ep_s1 = [[meta_eps[meta1][e][ch][:, :, 1]
+                              for ch in range(3)] for e in range(2)]
+                else:
+                    err = err0
+                    ep_s1 = ep_s0  # unused
+
+                # first legal mode per lane
+                chosen_mode = jnp.full((n, num_parts), -1, dtype=jnp.int32)
+                enc = [[[jnp.zeros((n, num_parts), dtype=jnp.int32)
+                         for _ in range(3)] for _ in range(2)]
+                       for _ in range(2)]
+                for mode_idx in mode_list:
+                    _, _, transformed, _, bprec = HDR_MODES[mode_idx]
+                    a_mask = (1 << aprec) - 1
+                    legal = jnp.ones((n, num_parts), dtype=bool)
+                    cand = [[[None] * 3 for _ in range(2)] for _ in range(2)]
+                    for ch in range(3):
+                        cand[0][0][ch] = ep_s0[0][ch]
+                        cand[0][1][ch] = ep_s0[1][ch]
+                        cand[1][0][ch] = ep_s1[0][ch]
+                        cand[1][1][ch] = ep_s1[1][ch]
+                        if transformed:
+                            for subset in range(num_subsets):
+                                for epi in range(2):
+                                    if epi == 0 and subset == 0:
+                                        continue
+                                    v = cand[subset][epi][ch]
+                                    b_red = v & a_mask
+                                    delta = _truncate_signed(
+                                        v - cand[0][0][ch], bprec[ch])
+                                    cand[subset][epi][ch] = delta
+                                    recon = (delta + cand[0][0][ch]) & a_mask
+                                    legal = legal & (recon == b_red)
+                    first = (chosen_mode < 0) & legal
+                    chosen_mode = jnp.where(first, mode_idx, chosen_mode)
+                    for s in range(2):
+                        for e in range(2):
+                            for ch in range(3):
+                                enc[s][e][ch] = jnp.where(
+                                    first, cand[s][e][ch], enc[s][e][ch])
+
+                cand_valid = val & (chosen_mode >= 0)
+                cand_err = jnp.where(cand_valid, err, INF)
+
+                # rank: (group, partition, meta0, meta1) visitation order
+                part_ids = jnp.arange(num_parts, dtype=jnp.int32)
+                rank = rank_base + (part_ids * (max_meta * max_meta)
+                                    + meta0 * max_meta + meta1)
+                rank_b = jnp.broadcast_to(rank[None, :], (n, num_parts))
+
+                win_err, win = _ordered_argmin(cand_err)
+                win_rank = _gather_last(rank_b, win)
+
+                idx0 = meta_indexes[meta0]
+                idx1 = meta_indexes[meta1] if partitioned else idx0
+                idx_px = []
+                for px in range(16):
+                    own1 = jnp.asarray(sub_mask[:, 1, px][None, :]) \
+                        if partitioned else jnp.zeros((1, num_parts),
+                                                      dtype=bool)
+                    v = jnp.where(own1, idx1[px][:, :, 1 if partitioned else 0],
+                                  idx0[px][:, :, 0])
+                    idx_px.append(_gather_last(v, win))
+
+                payload = {
+                    "mode": _gather_last(chosen_mode, win),
+                    "partition": _gather_last(
+                        jnp.broadcast_to(part_ids[None, :], (n, num_parts)),
+                        win),
+                    "ep": jnp.stack([jnp.stack([jnp.stack(
+                        [_gather_last(enc[s][e][ch], win) for ch in range(3)],
+                        axis=-1) for e in range(2)], axis=-2)
+                        for s in range(2)], axis=-3),
+                    "idx": jnp.stack(idx_px, axis=-1),
+                }
+                best.update(win_err, win_rank, payload)
+
+        rank_base += num_parts * max_meta * max_meta
+
+    return _pack_bits(best, n)
+
+
+def _pack_bits(best, n):
+    """Final bit packing (BC67.cpp:2992-3050): per-mode header via the
+    layout table + 63/64 index bits."""
+    mode = best.payload["mode"]
+    partition = best.payload["partition"]
+    eps = best.payload["ep"]  # [N,2,2,3]
+    indexes = [best.payload["idx"][:, px] for px in range(16)]
+
+    words_final = [jnp.zeros((n,), dtype=jnp.int32) for _ in range(4)]
+
+    for mode_idx, (mode_id, partitioned, _, _, _) in enumerate(HDR_MODES):
+        fields = {
+            "m": jnp.full((n,), mode_id, dtype=jnp.int32),
+            "d": partition,
+            "rw": eps[:, 0, 0, 0], "rx": eps[:, 0, 1, 0],
+            "ry": eps[:, 1, 0, 0], "rz": eps[:, 1, 1, 0],
+            "gw": eps[:, 0, 0, 1], "gx": eps[:, 0, 1, 1],
+            "gy": eps[:, 1, 0, 1], "gz": eps[:, 1, 1, 1],
+            "bw": eps[:, 0, 0, 2], "bx": eps[:, 0, 1, 2],
+            "by": eps[:, 1, 0, 2], "bz": eps[:, 1, 1, 2],
+        }
+        words = [jnp.zeros((n,), dtype=jnp.int32) for _ in range(3)]
+        for (field, src, dst, length) in bc6h_layout.LAYOUTS[mode_idx]:
+            chunk = (fields[field] >> src) & ((1 << length) - 1)
+            w = dst // 32
+            sh = dst % 32
+            words[w] = words[w] | (chunk << sh)
+            if sh + length > 32:
+                words[w + 1] = words[w + 1] | (chunk >> (32 - sh))
+
+        header_bits = 82 if partitioned else 65
+        index_bits = 3 if partitioned else 4
+        if partitioned:
+            fix1 = jnp.take(jnp.asarray(geom.FIXUP_INDEXES_2), partition)
+        else:
+            fix1 = jnp.zeros((n,), dtype=jnp.int32)
+
+        mode_words = [words[0], words[1], words[2],
+                      jnp.zeros((n,), dtype=jnp.int32)]
+        off = jnp.full((n,), header_bits, dtype=jnp.int32)
+        for px in range(16):
+            mode_words = _pack_var(mode_words, indexes[px], off, index_bits)
+            if px == 0:
+                off = off + (index_bits - 1)
+            else:
+                off = off + (index_bits - jnp.where(fix1 == px, 1, 0))
+
+        sel = mode == mode_idx
+        for j in range(4):
+            words_final[j] = jnp.where(sel, mode_words[j], words_final[j])
+
+    byte_cols = []
+    for j in range(4):
+        for b in range(4):
+            byte_cols.append((words_final[j] >> (b * 8)) & 0xFF)
+    return jnp.stack(byte_cols, axis=-1).astype(jnp.uint8)

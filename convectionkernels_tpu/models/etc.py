@@ -1,0 +1,1737 @@
+"""ETC1 / ETC2 / EAC encoders.
+
+TPU-native reimplementation of the reference's ETCComputer
+(/root/reference/ConvectionKernels_ETC.cpp), redesigned for dense batched
+evaluation:
+
+- The ETC1 "modified cluster fit" (ETC.cpp:2624-2882, etc_notes.txt:1-14)
+  evaluates every table x offset candidate as array axes; the reference's
+  per-lane adjacent dedup is unnecessary because duplicate candidates carry
+  identical payloads, and unique-index ranks (prefix sums of change flags)
+  reproduce its tie-breaking exactly.
+- The differential pair resolution (FindBestDifferentialCombination,
+  ETC.cpp:219-362) — deliberately scalar in the reference — becomes a dense
+  masked pair-argmin over table-pair chunks with a lexicographic
+  (total, err0, uniqueIdx0, err1, uniqueIdx1) key, which is exactly the
+  winner the reference's sorted pruned scan commits.
+- T/H/planar mode searches batch their candidate scans; final 64-bit block
+  emission is vectorized bit math, with the per-stage winner selected by
+  (error, stage-rank) lexicographic argmin (strict-less update order).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import lanes
+from ..ops.exact_math import exact_divide, exact_sqrt
+from ..options import Flags, Options
+from ..tables import etc_tables
+
+FLIP_TABLES = np.array([
+    [[0, 1, 4, 5, 8, 9, 12, 13], [2, 3, 6, 7, 10, 11, 14, 15]],
+    [[0, 1, 2, 3, 4, 5, 6, 7], [8, 9, 10, 11, 12, 13, 14, 15]],
+], dtype=np.int32)  # g_flipTables (ETC.cpp:47-57)
+
+INF = np.float32(np.inf)
+FLT_MAX = lanes.FLT_MAX
+
+
+def _weights(options: Options):
+    return [np.float32(options.red_weight), np.float32(options.green_weight),
+            np.float32(options.blue_weight)]
+
+
+def compute_error(recon, pixels, pw_pixels, options: Options):
+    """ComputeError{Uniform,Weighted,FakeBT709} (ETC.cpp:59-92).
+
+    recon: 3 int32 arrays; pixels: 3 int32; pw_pixels: 3 float32 arrays.
+    """
+    if options.flags & Flags.ETC_USE_FAKE_BT709:
+        yuv = convert_to_fake_bt709([lanes.to_float(c) for c in recon])
+        d0 = yuv[0] - pw_pixels[0]
+        d1 = yuv[1] - pw_pixels[1]
+        d2 = yuv[2] - pw_pixels[2]
+        return d0 * d0 + d1 * d1 + d2 * d2
+    if options.flags & Flags.UNIFORM:
+        err = None
+        for ch in range(3):
+            d = lanes.to_float(pixels[ch] - recon[ch])
+            e = d * d
+            err = e if err is None else err + e
+        return err
+    w = _weights(options)
+    dr = lanes.to_float(recon[0]) * w[0] - pw_pixels[0]
+    dg = lanes.to_float(recon[1]) * w[1] - pw_pixels[1]
+    db = lanes.to_float(recon[2]) * w[2] - pw_pixels[2]
+    return dr * dr + dg * dg + db * db
+
+
+def convert_to_fake_bt709(rgb):
+    """ConvertToFakeBT709 (ETC.cpp:2337-2347)."""
+    r, g, b = rgb
+    y = (r * np.float32(0.368233989135369)
+         + g * np.float32(1.23876274963149)
+         + b * np.float32(0.125054068802017))
+    u = (r * np.float32(0.5) - g * np.float32(0.4541529)
+         - b * np.float32(0.04584709))
+    v = (r * np.float32(-0.081014709086133)
+         - g * np.float32(0.272538676238785)
+         + b * np.float32(0.353553390593274))
+    return [y, u, v]
+
+
+def convert_from_fake_bt709(yuv):
+    """ConvertFromFakeBT709 (ETC.cpp:2349-2359)."""
+    yy = yuv[0] * np.float32(0.57735026466774571071)
+    u, v = yuv[1], yuv[2]
+    r = yy + u * np.float32(1.5748000207960953486)
+    g = (yy - u * np.float32(0.46812425854364753669)
+         - v * np.float32(0.26491652528157560861))
+    b = yy + v * np.float32(2.6242146882856944069)
+    return [r, g, b]
+
+
+def extract_blocks(pixels_u8, options: Options):
+    """ExtractBlocks (ETC.cpp:2128-2155): pixels + preweighted pixels."""
+    p = jnp.asarray(pixels_u8, dtype=jnp.int32)
+    pixels = [[p[:, px, ch] for ch in range(3)] for px in range(16)]
+    if options.flags & Flags.ETC_USE_FAKE_BT709:
+        pw = [convert_to_fake_bt709([lanes.to_float(c) for c in row])
+              for row in pixels]
+    elif options.flags & Flags.UNIFORM:
+        pw = [[lanes.to_float(c) for c in row] for row in pixels]
+    else:
+        w = _weights(options)
+        pw = [[lanes.to_float(row[ch]) * w[ch] for ch in range(3)]
+              for row in pixels]
+    return pixels, pw
+
+
+class StageBest:
+    """Cross-stage winner: (error, stage-rank) lexicographic minimum over
+    emitted 64-bit blocks (hi/lo u32 words)."""
+
+    def __init__(self, n):
+        self.error = jnp.full((n,), FLT_MAX, dtype=jnp.float32)
+        self.rank = jnp.full((n,), 2**30, dtype=jnp.int32)
+        self.hi = jnp.zeros((n,), dtype=jnp.int32)
+        self.lo = jnp.zeros((n,), dtype=jnp.int32)
+        self.lane_mask = None  # per-lane gate for subsequent updates
+
+    def update(self, error, rank: int, hi, lo, valid=None):
+        better = (error < self.error) | ((error == self.error)
+                                         & (rank < self.rank))
+        if valid is not None:
+            better = better & valid
+        if self.lane_mask is not None:
+            better = better & self.lane_mask
+        self.error = jnp.where(better, error, self.error)
+        self.rank = jnp.where(better, rank, self.rank)
+        self.hi = jnp.where(better, hi, self.hi)
+        self.lo = jnp.where(better, lo, self.lo)
+
+    def reset_where(self, mask):
+        """ConditionalSet(bestError, mask, FLT_MAX) — punchthrough restart."""
+        self.error = jnp.where(mask, FLT_MAX, self.error)
+        self.rank = jnp.where(mask, 2**30, self.rank)
+
+    def to_bytes(self):
+        cols = []
+        for w in (self.hi, self.lo):
+            for i in range(4):
+                cols.append((w >> (24 - i * 8)) & 0xFF)
+        return jnp.stack(cols, axis=-1).astype(jnp.uint8)
+
+
+def _lex5_update(best, cand):
+    """Progressive lexicographic minimum over 5-key tuples (arrays)."""
+    bt, be0, bi0, be1, bi1 = best["key"]
+    t, e0, i0, e1, i1 = cand["key"]
+    better = (t < bt)
+    eq = t == bt
+    better = better | (eq & (e0 < be0))
+    eq = eq & (e0 == be0)
+    better = better | (eq & (i0 < bi0))
+    eq = eq & (i0 == bi0)
+    better = better | (eq & (e1 < be1))
+    eq = eq & (e1 == be1)
+    better = better | (eq & (i1 < bi1))
+    if cand.get("valid") is not None:
+        better = better & cand["valid"]
+    out = {"key": tuple(jnp.where(better, c, b)
+                        for c, b in zip(cand["key"], best["key"]))}
+    for k in best:
+        if k == "key":
+            continue
+        out[k] = jnp.where(better, cand[k], best[k])
+    return out
+
+
+# --- ETC1 search ---------------------------------------------------------------
+
+def _padded_offsets():
+    """[8, 81] offsets per table, short tables padded with their last value
+    (padding duplicates produce identical candidates, which is harmless)."""
+    out = np.zeros((8, etc_tables.MAX_POTENTIAL_OFFSETS), dtype=np.int32)
+    counts = np.zeros(8, dtype=np.int32)
+    for t in range(8):
+        offs = etc_tables.potential_offsets(t)
+        counts[t] = len(offs)
+        out[t, :len(offs)] = offs
+        out[t, len(offs):] = offs[-1]
+    return out, counts
+
+
+def _quantize_etc1_base(cu, differential: bool):
+    """Quantize candidate base colors (ETC.cpp:2718-2735). cu: int32 0..2040."""
+    if differential:
+        return ((cu << 5) - cu + (cu >> 3) + 1024) >> 11
+    return ((cu << 5) - (cu << 1) + (cu >> 3) + 2048) >> 12
+
+
+def _test_half_block(packed, sector_pixels, sector_pw, modifiers,
+                     differential: bool, options: Options):
+    """TestHalfBlock (ETC.cpp:94-149), batched over candidate axes.
+
+    packed: int32 [..., T, C]; modifiers: [T, 4] static np array.
+    sector_pixels/sector_pw: 8 x 3 lists of [N] arrays.
+    Returns (error [N,T,C] f32, selectors [N,T,C] i32).
+    """
+    quant = [(packed >> (ch * 5)) & 31 for ch in range(3)]
+    if differential:
+        unquant = [(q << 3) | (q >> 2) for q in quant]
+    else:
+        unquant = [(q << 4) | q for q in quant]
+
+    mods = jnp.asarray(modifiers)[None, :, None, :]  # [1,T,1,4]
+    modified = [jnp.clip(u[..., None] + mods, 0, 255) for u in unquant]
+    # modified[ch]: [N,T,C,4]
+
+    selectors = None
+    total_error = None
+    for px in range(8):
+        pix = [sector_pixels[px][ch][:, None, None, None] for ch in range(3)]
+        pw = [sector_pw[px][ch][:, None, None, None] for ch in range(3)]
+        err = compute_error(modified, pix, pw, options)  # [N,T,C,4]
+        # per-pixel best selector: strict-less, first wins == ordered argmin
+        sel = jnp.argmin(err, axis=-1).astype(jnp.int32)
+        best = jnp.min(err, axis=-1)
+        total_error = best if total_error is None else total_error + best
+        s = sel << (px * 2)
+        selectors = s if selectors is None else selectors | s
+    return total_error, selectors
+
+
+def _unique_rank(colors, table_axis_len: int, per_table: int):
+    """Unique-attempt index per lane matching the reference's deduped storage
+    order: prefix count of color-change flags, resetting at table boundaries.
+
+    colors: int32 [N, T*C] in (table-major, offset order).
+    """
+    n = colors.shape[0]
+    flat = colors.reshape(n, table_axis_len, per_table)
+    prev = jnp.concatenate([jnp.full((n, table_axis_len, 1), -1,
+                                     dtype=jnp.int32), flat[:, :, :-1]],
+                           axis=-1)
+    is_new = (flat != prev).astype(jnp.int32)
+    # global unique index = cumulative count across the flattened axis - 1
+    new_flat = is_new.reshape(n, -1)
+    return jnp.cumsum(new_flat, axis=-1) - 1  # [N, T*C]
+
+
+def compress_etc1_internal(stage: StageBest, rank_base: int, pixels, pw,
+                           options: Options, punchthrough_min_d: bool):
+    """CompressETC1BlockInternal (ETC.cpp:2624-2882)."""
+    n = pixels[0][0].shape[0]
+    offsets, _counts = _padded_offsets()
+    c_count = offsets.shape[1]
+    modifiers = np.asarray(etc_tables.ETC1_MODIFIER_TABLES)
+    fake = bool(options.flags & Flags.ETC_USE_FAKE_BT709)
+    accurate = bool(options.flags & Flags.ETC_FAKE_BT709_ACCURATE)
+
+    min_d = 1 if punchthrough_min_d else 0
+
+    for flip in range(2):
+        sector_pixels = [[], []]
+        sector_pw = [[], []]
+        sector_cum = [[], []]
+        for sector in range(2):
+            cum = [None] * 3
+            for px in range(8):
+                src = int(FLIP_TABLES[flip][sector][px])
+                sector_pixels[sector].append(pixels[src])
+                sector_pw[sector].append(pw[src])
+                for ch in range(3):
+                    v = pixels[src][ch]
+                    cum[ch] = v if cum[ch] is None else cum[ch] + v
+            sector_cum[sector] = cum
+
+        ind_best = [None, None]   # per-sector individual-mode best
+        diff_data = [None, None]  # per-sector differential candidates
+
+        for d in range(min_d, 2):
+            for sector in range(2):
+                cum_b = [sector_cum[sector][ch][:, None, None]
+                         for ch in range(3)]
+                offs_b = jnp.asarray(offsets)[None, :, :]  # [1,T,C]
+                cu = [jnp.clip(c + offs_b, 0, 2040) for c in cum_b]
+                if not fake:
+                    quant = [_quantize_etc1_base(c, d == 1) for c in cu]
+                else:
+                    quant = _resolve_fake_bt709_rounding(cu, d == 1, accurate)
+                packed = quant[0] | (quant[1] << 5) | (quant[2] << 10)
+
+                error, selectors = _test_half_block(
+                    packed, sector_pixels[sector], sector_pw[sector],
+                    modifiers, d == 1, options)
+
+                table_ids = jnp.broadcast_to(
+                    jnp.arange(8, dtype=jnp.int32)[None, :, None],
+                    packed.shape)
+
+                packed_b = jnp.broadcast_to(packed, error.shape)
+                tables_b = jnp.broadcast_to(table_ids, error.shape)
+                if d == 0:
+                    # individual: per-sector lex-argmin in (table, offset) order
+                    flat_err = error.reshape(n, -1)
+                    win = jnp.argmin(flat_err, axis=-1)
+
+                    def gather(x, win=win):
+                        return jnp.take_along_axis(x.reshape(n, -1),
+                                                   win[:, None], axis=1)[:, 0]
+
+                    ind_best[sector] = dict(
+                        error=gather(flat_err),
+                        color=gather(packed_b),
+                        selectors=gather(selectors),
+                        table=gather(tables_b),
+                    )
+                else:
+                    diff_data[sector] = dict(
+                        error=error.reshape(n, -1),
+                        color=packed_b.reshape(n, -1),
+                        selectors=selectors.reshape(n, -1),
+                        table=tables_b.reshape(n, -1),
+                        urank=_unique_rank(packed_b.reshape(n, -1), 8,
+                                           c_count),
+                    )
+
+            if d == 0:
+                total = ind_best[0]["error"] + ind_best[1]["error"]
+                hi, lo = _emit_etc1(flip, 0, [ind_best[0], ind_best[1]], n,
+                                    transparent=False)
+                stage.update(total, rank_base + flip * 2, hi, lo)
+            else:
+                win = _resolve_differential(diff_data, n)
+                hi, lo = _emit_etc1(flip, 1, win, n, transparent=False)
+                stage.update(win[0]["total"], rank_base + flip * 2 + 1, hi,
+                             lo)
+
+    return stage
+
+
+def _resolve_differential(diff_data, n, can_ignore=None):
+    """Dense equivalent of FindBestDifferentialCombination (ETC.cpp:219-362):
+    lexicographic (total, err0, uidx0, err1, uidx1) argmin over legal pairs,
+    chunked by table pair. Returns per-sector winner payload dicts."""
+    a_count = diff_data[0]["error"].shape[1]
+    per_table = a_count // 8
+
+    best = {
+        "key": (jnp.full((n,), INF, dtype=jnp.float32),
+                jnp.full((n,), INF, dtype=jnp.float32),
+                jnp.full((n,), 2**30, dtype=jnp.int32),
+                jnp.full((n,), INF, dtype=jnp.float32),
+                jnp.full((n,), 2**30, dtype=jnp.int32)),
+        "color0": jnp.zeros((n,), dtype=jnp.int32),
+        "color1": jnp.zeros((n,), dtype=jnp.int32),
+        "sel0": jnp.zeros((n,), dtype=jnp.int32),
+        "sel1": jnp.zeros((n,), dtype=jnp.int32),
+        "table0": jnp.zeros((n,), dtype=jnp.int32),
+        "table1": jnp.zeros((n,), dtype=jnp.int32),
+    }
+
+    def legal(c0, c1):
+        ok = None
+        for sh in (0, 5, 10):
+            a = (c0 >> sh) & 31
+            b = (c1 >> sh) & 31
+            diff = b - a
+            this = (diff > -5) & (diff < 4)
+            ok = this if ok is None else ok & this
+        return ok
+
+    for t0 in range(8):
+        s0 = slice(t0 * per_table, (t0 + 1) * per_table)
+        e0 = diff_data[0]["error"][:, s0]
+        c0 = diff_data[0]["color"][:, s0]
+        u0 = diff_data[0]["urank"][:, s0]
+        for t1 in range(8):
+            s1 = slice(t1 * per_table, (t1 + 1) * per_table)
+            e1 = diff_data[1]["error"][:, s1]
+            c1 = diff_data[1]["color"][:, s1]
+            u1 = diff_data[1]["urank"][:, s1]
+
+            ok = legal(c0[:, :, None], c1[:, None, :])
+            if can_ignore is not None:
+                ok = ok | can_ignore[0][:, None, None] \
+                    | can_ignore[1][:, None, None]
+            total = e0[:, :, None] + e1[:, None, :]
+            total = jnp.where(ok, total, INF)
+
+            # Within-row-i selection over j: lexicographic
+            # (total, e1, u1) minimum (the reference's j scan is sorted by
+            # (err1, uidx1); for equal totals the smaller-e1 pair commits
+            # first and later equal-total pairs never strictly improve).
+            e1_b = jnp.broadcast_to(e1[:, None, :], total.shape)
+            u1_b = jnp.broadcast_to(u1[:, None, :], total.shape)
+            minj = jnp.min(total, axis=-1)
+            is_min = total == minj[:, :, None]
+            e1_masked = jnp.where(is_min, e1_b, INF)
+            mine1 = jnp.min(e1_masked, axis=-1)
+            is_min2 = is_min & (e1_b == mine1[:, :, None])
+            argj = jnp.argmin(jnp.where(is_min2, u1_b, 2**30), axis=-1)
+
+            def gj(x, argj=argj):
+                return jnp.take_along_axis(x, argj[:, :, None],
+                                           axis=2)[:, :, 0]
+
+            row = {
+                "total": minj,
+                "e1": gj(e1_b), "u1": gj(u1_b),
+                "c1": gj(jnp.broadcast_to(c1[:, None, :], total.shape)),
+                "s1": gj(jnp.broadcast_to(
+                    diff_data[1]["selectors"][:, s1][:, None, :],
+                    total.shape)),
+            }
+            # Across rows i: lexicographic (total, e0, u0, e1, u1) minimum.
+            mini = jnp.min(row["total"], axis=-1)
+            is_mi = row["total"] == mini[:, None]
+            e0m = jnp.where(is_mi, e0, INF)
+            mine0 = jnp.min(e0m, axis=-1)
+            is_mi = is_mi & (e0 == mine0[:, None])
+            u0m = jnp.where(is_mi, u0, 2**30)
+            minu0 = jnp.min(u0m, axis=-1)
+            is_mi = is_mi & (u0 == minu0[:, None])
+            e1m = jnp.where(is_mi, row["e1"], INF)
+            mine1i = jnp.min(e1m, axis=-1)
+            is_mi = is_mi & (row["e1"] == mine1i[:, None])
+            argi = jnp.argmin(jnp.where(is_mi, row["u1"], 2**30), axis=-1)
+
+            def gi(x, argi=argi):
+                return jnp.take_along_axis(x, argi[:, None], axis=1)[:, 0]
+
+            cand = {
+                "key": (gi(row["total"]), gi(e0), gi(u0),
+                        gi(row["e1"]), gi(row["u1"])),
+                "color0": gi(c0), "color1": gi(row["c1"]),
+                "sel0": gi(diff_data[0]["selectors"][:, s0]),
+                "sel1": gi(row["s1"]),
+                "table0": jnp.full((n,), t0, dtype=jnp.int32),
+                "table1": jnp.full((n,), t1, dtype=jnp.int32),
+                "valid": jnp.isfinite(gi(row["total"])),
+            }
+            best = _lex5_update(best, cand)
+
+    total = best["key"][0]
+    if can_ignore is not None:
+        # ignored sector adopts the other sector's color (ETC.cpp:249-252)
+        best["color0"] = jnp.where(can_ignore[0], best["color1"],
+                                   best["color0"])
+        best["color1"] = jnp.where(can_ignore[1] & ~can_ignore[0],
+                                   best["color0"], best["color1"])
+    win0 = dict(total=total, color=best["color0"], selectors=best["sel0"],
+                table=best["table0"])
+    win1 = dict(color=best["color1"], selectors=best["sel1"],
+                table=best["table1"])
+    return [win0, win1]
+
+
+def _resolve_fake_bt709_rounding(cu, differential, accurate):
+    """ResolveHalfBlockFakeBT709Rounding{Accurate,Fast} (ETC.cpp:2157-2285)."""
+    if accurate:
+        if differential:
+            quant = [((c << 5) - c + (c >> 3)) >> 11 for c in cu]
+        else:
+            quant = [((c << 5) - (c << 1) + (c >> 3)) >> 12 for c in cu]
+        low = []
+        high = []
+        for ch in range(3):
+            q = quant[ch]
+            if differential:
+                unq = (q << 3) | (q >> 2)
+                qn = jnp.minimum(31, q + 1)
+                unq_next = (qn << 3) | (qn >> 2)
+            else:
+                unq = (q << 4) | q
+                unq_next = jnp.minimum(255, unq + 17)
+            low.append(lanes.to_float(unq << 3))
+            high.append(lanes.to_float(unq_next << 3))
+        cum_yuv = convert_to_fake_bt709([lanes.to_float(c) for c in cu])
+        best_err = None
+        best_octant = None
+        for octant in range(8):
+            rgb = [high[ch] if (octant >> ch) & 1 else low[ch]
+                   for ch in range(3)]
+            oy = convert_to_fake_bt709(rgb)
+            d = [oy[ch] - cum_yuv[ch] for ch in range(3)]
+            # NOTE: replicates the reference's error expression including its
+            # d1+d1 (instead of d1*d1) quirk (ETC.cpp:2225)
+            err = d[0] * d[0] + d[1] + d[1] + d[2] * d[2]
+            if best_err is None:
+                best_err = err
+                best_octant = jnp.zeros_like(cu[0])
+            else:
+                better = err < best_err
+                best_octant = jnp.where(better, octant, best_octant)
+                best_err = jnp.minimum(err, best_err)
+        return [quant[ch] + ((best_octant >> ch) & 1) for ch in range(3)]
+
+    # fast path: octant lookup table (ETC.cpp:2233-2285)
+    fill = [c + (c >> 8) for c in cu]
+    table = jnp.asarray(etc_tables.fake_bt709_rounding16())
+    if differential:
+        r_off = (fill[0] << 6) & 0xF00
+        g_off = (fill[1] << 4) & 0x0F0
+        b_off = (fill[2] >> 2) & 0x00F
+        base = [f >> 6 for f in fill]
+        upper = 31
+    else:
+        r_off = (fill[0] << 5) & 0xF00
+        g_off = (fill[1] << 1) & 0x0F0
+        b_off = (fill[2] >> 3) & 0x00F
+        base = [f >> 7 for f in fill]
+        upper = 15
+    octant = jnp.take(table, r_off | g_off | b_off)
+    return [jnp.minimum(base[ch] + ((octant >> ch) & 1), upper)
+            for ch in range(3)]
+
+
+# --- T / H / planar searches ----------------------------------------------------
+
+def _div_exact_int(numer, divisor):
+    """Per-lane integer division with divisor-0 -> 0 (the reference's scalar
+    loops, e.g. ETC.cpp:438-446). Integer division is exact in XLA."""
+    safe = jnp.maximum(divisor, 1)
+    return jnp.where(divisor == 0, 0, numer // safe)
+
+
+def encode_tmode(stage: StageBest, rank_base: int, is_isolated, pixels, pw,
+                 options: Options):
+    """EncodeTMode (ETC.cpp:396-648). is_isolated: 16 bool [N] arrays."""
+    n = pixels[0][0].shape[0]
+    fake = bool(options.flags & Flags.ETC_USE_FAKE_BT709)
+
+    iso_total = [None] * 3
+    line_total = [None] * 3
+    num_iso = jnp.zeros((n,), dtype=jnp.int32)
+    for px in range(16):
+        sel = is_isolated[px]
+        for ch in range(3):
+            t = jnp.where(sel, pixels[px][ch], 0)
+            iso_total[ch] = t if iso_total[ch] is None else iso_total[ch] + t
+            line_total[ch] = pixels[px][ch] if line_total[ch] is None \
+                else line_total[ch] + pixels[px][ch]
+        num_iso = num_iso + sel.astype(jnp.int32)
+    line_total = [line_total[ch] - iso_total[ch] for ch in range(3)]
+    num_line = 16 - num_iso
+
+    divisors = num_iso * 34
+    addend = (num_iso << 4) | num_iso
+    iso_avg_q = []
+    iso_targets = []
+    for ch in range(3):
+        numerator = iso_total[ch] + iso_total[ch]
+        if not fake:
+            numerator = numerator + addend
+        iso_avg_q.append(_div_exact_int(numerator, divisors))
+        iso_targets.append(numerator)
+    if fake:
+        iso_avg_q = _resolve_th_fake_bt709(iso_avg_q, iso_targets, num_iso)
+
+    iso_color = [(q) | (q << 4) for q in iso_avg_q]
+    iso_error = []
+    for px in range(16):
+        iso_error.append(compute_error(iso_color, pixels[px], pw[px],
+                                       options))
+
+    # line-color candidate scan: premultiplier in [-16,16] (per-lane clamped
+    # to +-numLine; clamp duplicates carry identical payloads)
+    line_divisors = num_line * 34
+    line_addend = (num_line << 4) | num_line
+    max_line = num_line
+    min_line = -num_line
+
+    best = None
+    for table in range(8):
+        modifier = int(etc_tables.TH_MODIFIER_TABLE[table])
+        offs = np.arange(-16, 17, dtype=np.int32)  # [C=33]
+        offs_b = jnp.asarray(offs)[None, :]
+        clamped = jnp.maximum(min_line[:, None],
+                              jnp.minimum(max_line[:, None], offs_b))
+        mod_addend = clamped * (2 * modifier)
+
+        quantized = []
+        targets = []
+        for ch in range(3):
+            numer = jnp.maximum(
+                0, (line_total[ch] + line_total[ch] + line_addend)[:, None]
+                + mod_addend) if not fake else jnp.maximum(
+                0, (line_total[ch] + line_total[ch])[:, None] + mod_addend)
+            q = jnp.minimum(15, _div_exact_int(numer, line_divisors[:, None]))
+            quantized.append(q)
+            targets.append(numer)
+        if fake:
+            quantized = _resolve_th_fake_bt709(quantized, targets,
+                                               num_line[:, None])
+            quantized = [jnp.minimum(15, q) for q in quantized]
+        packed = quantized[0] | (quantized[1] << 5) | (quantized[2] << 10)
+
+        # per-candidate: line colors (16ths expansion +- modifier)
+        line_colors = []  # [3 selector variants][3 ch] of [N,C]
+        unq = [((packed >> (ch * 5)) & 15) for ch in range(3)]
+        unq = [(q << 4) | q for q in unq]
+        line_colors = [
+            [jnp.minimum(255, unq[ch] + modifier) for ch in range(3)],
+            [unq[ch] for ch in range(3)],
+            [jnp.maximum(0, unq[ch] - modifier) for ch in range(3)],
+        ]
+
+        # NOTE: line-color errors use Uniform/Weighted even under FakeBT709
+        # (EncodeTMode, ETC.cpp:607-612) — under the fake flag the weighted
+        # error then compares RGB*weights against YUV-preweighted pixels,
+        # replicating the reference's behavior.
+        opts_no_fake = Options(
+            flags=options.flags & ~Flags.ETC_USE_FAKE_BT709,
+            red_weight=options.red_weight, green_weight=options.green_weight,
+            blue_weight=options.blue_weight)
+        error = None
+        selectors = None
+        for px in range(16):
+            pix = [pixels[px][ch][:, None] for ch in range(3)]
+            pwp = [pw[px][ch][:, None] for ch in range(3)]
+            px_err = jnp.broadcast_to(iso_error[px][:, None], packed.shape)
+            px_sel = jnp.zeros_like(packed)
+            for i in range(3):
+                e = compute_error(line_colors[i], pix, pwp, opts_no_fake)
+                better = e < px_err
+                px_err = jnp.minimum(e, px_err)
+                px_sel = jnp.where(better, i + 1, px_sel)
+            error = px_err if error is None else error + px_err
+            sel_shift = px_sel << (px * 2)
+            selectors = sel_shift if selectors is None \
+                else selectors | sel_shift
+
+        # candidate reduce in dense order (== unique order within table)
+        win = jnp.argmin(error, axis=-1)
+
+        def g(x, win=win):
+            return jnp.take_along_axis(x, win[:, None], axis=1)[:, 0]
+
+        cand = dict(error=g(error), packed=g(packed), selectors=g(selectors),
+                    table=jnp.full((n,), table, dtype=jnp.int32))
+        if best is None:
+            best = cand
+        else:
+            better = cand["error"] < best["error"]
+            best = {k: jnp.where(better, cand[k], best[k]) for k in cand}
+
+    line_color = [(best["packed"] >> (ch * 5)) & 15 for ch in range(3)]
+    hi, lo = _emit_tmode(line_color, iso_avg_q, best["selectors"],
+                         best["table"], True, n)
+    stage.update(best["error"], rank_base, hi, lo)
+
+
+def _resolve_th_fake_bt709(quantized, targets, granularity):
+    """ResolveTHFakeBT709Rounding (ETC.cpp:2286-2327)."""
+    low = []
+    high = []
+    for ch in range(3):
+        unq = (quantized[ch] << 4) | quantized[ch]
+        unq_next = jnp.minimum(255, unq + 17)
+        low.append(lanes.to_float((unq * granularity) << 1))
+        high.append(lanes.to_float((unq_next * granularity) << 1))
+    cum_yuv = convert_to_fake_bt709([lanes.to_float(t) for t in targets])
+    best_err = None
+    best_octant = None
+    for octant in range(8):
+        rgb = [high[ch] if (octant >> ch) & 1 else low[ch] for ch in range(3)]
+        oy = convert_to_fake_bt709(rgb)
+        d = [oy[ch] - cum_yuv[ch] for ch in range(3)]
+        # replicates the reference's d1+d1 quirk (ETC.cpp:2318)
+        err = d[0] * d[0] + d[1] + d[1] + d[2] * d[2]
+        if best_err is None:
+            best_err = err
+            best_octant = jnp.zeros_like(quantized[0])
+        else:
+            better = err < best_err
+            best_octant = jnp.where(better, octant, best_octant)
+            best_err = jnp.minimum(err, best_err)
+    return [quantized[ch] + ((best_octant >> ch) & 1) for ch in range(3)]
+
+
+def encode_hmode(stage: StageBest, rank_base: int, groupings, pixels, pw,
+                 options: Options):
+    """EncodeHMode (ETC.cpp:649-886)."""
+    n = pixels[0][0].shape[0]
+
+    totals = [[None] * 3, [None] * 3]
+    count1 = jnp.zeros((n,), dtype=jnp.int32)
+    for px in range(16):
+        for ch in range(3):
+            v = pixels[px][ch]
+            totals[0][ch] = v if totals[0][ch] is None else totals[0][ch] + v
+            g = jnp.where(groupings[px], v, 0)
+            totals[1][ch] = g if totals[1][ch] is None else totals[1][ch] + g
+        count1 = count1 + groupings[px].astype(jnp.int32)
+    totals[0] = [totals[0][ch] - totals[1][ch] for ch in range(3)]
+    counts = [16 - count1, count1]
+
+    best = None
+    for table in range(8):
+        modifier = int(etc_tables.TH_MODIFIER_TABLE[table])
+
+        # candidate colors per sector: premultiplier in [-16,16] clamped
+        sector_colors = []  # [2] of [N,C] packed (r<<10|g<<5|b)
+        for sector in range(2):
+            offs = jnp.asarray(np.arange(-16, 17, dtype=np.int32))[None, :]
+            clamped = jnp.maximum(-counts[sector][:, None],
+                                  jnp.minimum(counts[sector][:, None], offs))
+            quantized = []
+            for ch in range(3):
+                numer = jnp.maximum(
+                    0, (totals[sector][ch] * 2 + counts[sector] * 17)[:, None]
+                    + clamped * (2 * modifier))
+                q = jnp.minimum(15, _div_exact_int(
+                    numer, (counts[sector] * 34)[:, None]))
+                quantized.append(q)
+            sector_colors.append((quantized[0] << 10) | (quantized[1] << 5)
+                                 | quantized[2])
+
+        # per-candidate-color best sign per pixel
+        def color_errors(packed):
+            unq = [(packed >> ((2 - ch) * 5)) & 15 for ch in range(3)]
+            unq = [(q << 4) | q for q in unq]
+            plus = [jnp.minimum(255, unq[ch] + modifier) for ch in range(3)]
+            minus = [jnp.maximum(0, unq[ch] - modifier) for ch in range(3)]
+            errs = []
+            signs = []
+            for px in range(16):
+                pix = [pixels[px][ch][:, None] for ch in range(3)]
+                pwp = [pw[px][ch][:, None] for ch in range(3)]
+                e0 = compute_error(plus, pix, pwp, options)
+                e1 = compute_error(minus, pix, pwp, options)
+                one_less = e1 < e0
+                errs.append(jnp.minimum(e0, e1))
+                signs.append(one_less)
+            return errs, signs
+
+        errs0, signs0 = color_errors(sector_colors[0])
+        errs1, signs1 = color_errors(sector_colors[1])
+
+        # pair scan: all (i0, i1) except the (first-unique, first-unique)
+        # pair, which the reference's combo walk never visits
+        # (ETC.cpp:800-815 starts past it). Ranked by unique pair indexes.
+        u0 = _unique_rank(sector_colors[0], 1, sector_colors[0].shape[1])
+        u1 = _unique_rank(sector_colors[1], 1, sector_colors[1].shape[1])
+
+        c_count = sector_colors[0].shape[1]
+        total = None
+        sector_bits = None
+        sign_bits = None
+        for px in range(16):
+            e0 = errs0[px][:, :, None]
+            e1 = errs1[px][:, None, :]
+            pick1 = e1 < e0
+            t = jnp.where(pick1, e1, e0)
+            total = t if total is None else total + t
+            bit = 1 << px
+            sb = jnp.where(pick1, bit, 0)
+            sector_bits = sb if sector_bits is None else sector_bits | sb
+            sgn = jnp.where(pick1,
+                            jnp.where(signs1[px][:, None, :], bit, 0),
+                            jnp.where(signs0[px][:, :, None], bit, 0))
+            sign_bits = sgn if sign_bits is None else sign_bits | sgn
+
+        skip = (u0[:, :, None] == 0) & (u1[:, None, :] == 0)
+        total = jnp.where(skip, INF, total)
+
+        # reference combo order is (i1-major, i0) over unique indexes:
+        # rank = u1 * numUnique0 + u0; dense argmin in (u1, u0) order:
+        # flatten with axis order (j, i)
+        total_t = jnp.swapaxes(total, 1, 2).reshape(n, -1)
+        win = jnp.argmin(total_t, axis=-1)
+
+        def g(x, win=win):
+            xt = jnp.swapaxes(jnp.broadcast_to(x, total.shape), 1,
+                              2).reshape(n, -1)
+            return jnp.take_along_axis(xt, win[:, None], axis=1)[:, 0]
+
+        cand = dict(
+            error=g(total),
+            color0=g(sector_colors[0][:, :, None]),
+            color1=g(sector_colors[1][:, None, :]),
+            sector_bits=g(sector_bits),
+            sign_bits=g(sign_bits),
+            table=jnp.full((n,), table, dtype=jnp.int32),
+        )
+        if best is None:
+            best = cand
+        else:
+            better = cand["error"] < best["error"]
+            best = {k: jnp.where(better, cand[k], best[k]) for k in cand}
+
+    hi, lo = _emit_hmode([best["color0"], best["color1"]],
+                         best["sector_bits"], best["sign_bits"],
+                         best["table"], True, n)
+    stage.update(best["error"], rank_base, hi, lo,
+                 valid=jnp.isfinite(best["error"]))
+
+
+def encode_planar(stage: StageBest, rank_base: int, pixels, pw,
+                  options: Options):
+    """EncodePlanar (ETC.cpp:1274-1663): algebraic least-squares plane fit."""
+    n = pixels[0][0].shape[0]
+    fake = bool(options.flags & Flags.ETC_USE_FAKE_BT709)
+    uniform = bool(options.flags & Flags.UNIFORM)
+    w = _weights(options)
+
+    # Host-side constant normal matrix terms (pixel coordinates only)
+    f = np.float32
+    fhh = fho = fhv = foo = fov = fvv = f(0)
+    for px in range(16):
+        x, y = f(px % 4), f(px // 4)
+        fhh = f(fhh + x * x)
+        fhv = f(fhv + x * y)
+        fho = f(fho + x)
+        fvv = f(fvv + y * y)
+        fov = f(fov + y)
+        foo = f(foo + 1)
+
+    o = [None] * 3
+    h = [None] * 3
+    v = [None] * 3
+    for ch in range(3):
+        fh = jnp.zeros((n,), dtype=jnp.float32)
+        fv = jnp.zeros((n,), dtype=jnp.float32)
+        fo = jnp.zeros((n,), dtype=jnp.float32)
+        for px in range(16):
+            x, y = f(px % 4), f(px // 4)
+            c = pw[px][ch] if fake else lanes.to_float(pixels[px][ch])
+            # the reference subtracts c*x / c*y / c twice per pixel
+            # (ETC.cpp:1330-1343) — the factor 2 folds into the derivatives
+            fh = fh - c * x
+            fv = fv - c * y
+            fo = fo - c
+            fh = fh - c * x
+            fv = fv - c * y
+            fo = fo - c
+
+        d = f(2.0) * fhh
+        e = fho
+        ff = fhv
+        g_d = fh
+        i = fhv
+        j = fov
+        k = f(2.0) * fvv
+        l_d = fv
+        m = fho
+        nn = f(2.0) * foo
+        p = fov
+        q_d = fo
+
+        r0to1 = f(-i / d)
+        r0to2 = f(-m / d)
+        j1 = f(j + r0to1 * e)
+        k1 = f(k + r0to1 * ff)
+        l1_d = l_d + g_d * r0to1
+        n1 = f(nn + r0to2 * e)
+        p1 = f(p + r0to2 * ff)
+        q1_d = q_d + g_d * r0to2
+        r1to2 = f(-p1 / k1)
+        n2 = f(n1 + r1to2 * j1)
+        q2_d = q1_d + l1_d * r1to2
+        o[ch] = exact_divide(-q2_d, jnp.full((n,), n2))
+        r2to1 = f(-j1 / n2)
+        l2_d = l1_d + q2_d * r2to1
+        elim2 = f(-ff / k1)
+        elim1 = f(-e / n2)
+        g2_d = g_d + l2_d * elim2 + q2_d * elim1
+        h[ch] = exact_divide(-g2_d, jnp.full((n,), d))
+        v[ch] = exact_divide(-l2_d, jnp.full((n,), k1))
+
+        h[ch] = h[ch] * f(4.0) + o[ch]
+        v[ch] = v[ch] * f(4.0) + o[ch]
+
+    best_coeffs = [[None] * 3 for _ in range(3)]  # [ch][o,h,v]
+    total_error = jnp.zeros((n,), dtype=jnp.float32)
+
+    if fake:
+        o_rgb = convert_from_fake_bt709(o)
+        h_rgb = convert_from_fake_bt709(h)
+        v_rgb = convert_from_fake_bt709(v)
+        for ch in range(3):
+            fco = [o_rgb[ch], h_rgb[ch], v_rgb[ch]]
+            for c in range(3):
+                coeff = jnp.maximum(0.0, fco[c])
+                if ch == 1:
+                    coeff = jnp.minimum(f(127.0), coeff * f(127.0 / 255.0))
+                else:
+                    coeff = jnp.minimum(f(63.0), coeff * f(63.0 / 255.0))
+                best_coeffs[ch][c] = lanes.round_and_convert_to_int_nearest(
+                    coeff)
+        recon = [[None] * 3 for _ in range(16)]
+        for ch in range(3):
+            d_o = _decode_planar_coeff(best_coeffs[ch][0], ch)
+            d_h = _decode_planar_coeff(best_coeffs[ch][1], ch)
+            d_v = _decode_planar_coeff(best_coeffs[ch][2], ch)
+            h_m = d_h - d_o
+            v_m = d_v - d_o
+            addend = (d_o << 2) + 2
+            for px in range(16):
+                x, y = px % 4, px // 4
+                interp = (x * h_m + y * v_m + addend) >> 2
+                recon[px][ch] = jnp.minimum(255, jnp.maximum(0, interp))
+        for px in range(16):
+            total_error = total_error + compute_error(recon[px], pixels[px],
+                                                      pw[px], options)
+    else:
+        cw_sq = [w[ch] * w[ch] for ch in range(3)]
+        for ch in range(3):
+            fco = [o[ch], h[ch], v[ch]]
+            ranges = []
+            for c in range(3):
+                coeff = jnp.maximum(0.0, fco[c])
+                if ch == 1:
+                    coeff = jnp.minimum(f(127.0), coeff * f(127.0 / 255.0))
+                else:
+                    coeff = jnp.minimum(f(63.0), coeff * f(63.0 / 255.0))
+                ranges.append((lanes.round_down_to_int(coeff),
+                               lanes.round_up_to_int(coeff)))
+            best_ch_err = jnp.full((n,), FLT_MAX, dtype=jnp.float32)
+            for io in range(2):
+                d_o = _decode_planar_coeff(ranges[0][io], ch)
+                addend = (d_o << 2) + 2
+                for ih in range(2):
+                    d_h = _decode_planar_coeff(ranges[1][ih], ch)
+                    h_m = d_h - d_o
+                    for iv in range(2):
+                        d_v = _decode_planar_coeff(ranges[2][iv], ch)
+                        v_m = d_v - d_o
+                        err = jnp.zeros((n,), dtype=jnp.float32)
+                        for px in range(16):
+                            x, y = px % 4, px // 4
+                            interp = (x * h_m + y * v_m + addend) >> 2
+                            dec = jnp.minimum(255, jnp.maximum(0, interp))
+                            delta = lanes.to_float(pixels[px][ch] - dec)
+                            err = err + delta * delta
+                        better = err < best_ch_err
+                        best_ch_err = jnp.minimum(err, best_ch_err)
+                        for c, idx in ((0, io), (1, ih), (2, iv)):
+                            src = ranges[c][idx]
+                            best_coeffs[ch][c] = src if best_coeffs[ch][c] \
+                                is None else jnp.where(better, src,
+                                                       best_coeffs[ch][c])
+            if not uniform:
+                best_ch_err = best_ch_err * cw_sq[ch]
+            total_error = total_error + best_ch_err
+
+    hi, lo = _emit_planar(best_coeffs, n)
+    stage.update(total_error, rank_base, hi, lo)
+
+
+def _decode_planar_coeff(coeff, ch):
+    """DecodePlanarCoeff (ETC.cpp:1266-1272)."""
+    if ch == 1:
+        return (coeff << 1) | (coeff >> 6)
+    return (coeff << 2) | (coeff >> 4)
+
+
+def _emit_planar(best_coeffs, n):
+    """Planar block emission (ETC.cpp:1590-1660)."""
+    ro, rh, rv = best_coeffs[0]
+    go, gh, gv = best_coeffs[1]
+    bo, bh, bv = best_coeffs[2]
+
+    go1 = go >> 6
+    go2 = go & 63
+    bo1 = bo >> 5
+    bo2 = (bo >> 3) & 3
+    bo3 = bo & 7
+    rh1 = rh >> 1
+    rh2 = rh & 1
+
+    fake_r = ro >> 2
+    fake_dr = go1 | ((ro & 3) << 1)
+    fake_g = go2 >> 2
+    fake_dg = ((go2 & 3) << 1) | bo1
+    fake_b = bo2
+    fake_db = bo3 >> 1
+
+    hi = jnp.zeros((n,), dtype=jnp.int32)
+    hi = jnp.where(((fake_dr & 4) != 0) & (fake_r + fake_dr < 8),
+                   hi | (1 << (63 - 32)), hi)
+    hi = jnp.where(((fake_dg & 4) != 0) & (fake_g + fake_dg < 8),
+                   hi | (1 << (55 - 32)), hi)
+    hi = jnp.where(fake_b + fake_db < 4, hi | (1 << (42 - 32)),
+                   hi | (7 << (45 - 32)))
+    hi = hi | (ro << (57 - 32)) | (go1 << (56 - 32)) | (go2 << (49 - 32)) \
+        | (bo1 << (48 - 32)) | (bo2 << (43 - 32)) | (bo3 << (39 - 32)) \
+        | (rh1 << (34 - 32)) | (1 << (33 - 32)) | (rh2 << (32 - 32))
+    lo = (gh << 25) | (bh << 19) | (rv << 13) | (gv << 6) | bv
+    return hi, lo
+
+
+# --- Emission -------------------------------------------------------------------
+
+PIXEL_SELECTOR_ORDER = np.array([0, 4, 8, 12, 1, 5, 9, 13, 2, 6, 10, 14, 3, 7,
+                                 11, 15], dtype=np.int32)
+MODIFIER_CODES = np.array([3, 2, 0, 1], dtype=np.int32)
+
+
+# --- Top-level drivers ----------------------------------------------------------
+
+def chroma_side_axes(options: Options):
+    """ETC2CompressionDataInternal ctor (ETC.cpp:3117-3145): weighted chroma
+    axes, host-side float32 math."""
+    f = np.float32
+    cd = [f(options.red_weight), f(options.green_weight),
+          f(options.blue_weight)]
+    rot = [cd[1], cd[2], cd[0]]
+    offs = f(-(rot[0] * cd[0] + rot[1] * cd[1] + rot[2] * cd[2])
+             / (cd[0] * cd[0] + cd[1] * cd[1] + cd[2] * cd[2]))
+    a0 = [f(rot[i] + cd[i] * offs) for i in range(3)]
+    a1u = [f(a0[1] * cd[2] - a0[2] * cd[1]),
+           f(a0[2] * cd[0] - a0[0] * cd[2]),
+           f(a0[0] * cd[1] - a0[1] * cd[0])]
+    l0 = f(a0[0] * a0[0] + a0[1] * a0[1] + a0[2] * a0[2])
+    l1 = f(a1u[0] * a1u[0] + a1u[1] * a1u[1] + a1u[2] * a1u[2])
+    ratio = f(np.sqrt(np.float64(l0 / l1)))  # std::sqrt on float promotes
+    ratio = f(np.float32(np.sqrt(f(l0 / l1))))
+    a1 = [f(a1u[i] * ratio) for i in range(3)]
+    return a0, a1
+
+
+def compress_etc1(pixels_u8, options: Options):
+    """CompressETC1Block (ETC.cpp:2117-2126). Returns uint8 [N, 8]."""
+    pixels, pw = extract_blocks(pixels_u8, options)
+    n = pixels[0][0].shape[0]
+    stage = StageBest(n)
+    compress_etc1_internal(stage, 0, pixels, pw, options,
+                           punchthrough_min_d=False)
+    return stage.to_bytes()
+
+
+def _sector_assignments(pixels, pw, options: Options, is_transparent,
+                        num_opaque, punchthrough: bool):
+    """Chroma-split sector assignment (CompressETC2Block, ETC.cpp:1723-1848)."""
+    n = pixels[0][0].shape[0]
+    chroma = [[None, None] for _ in range(16)]
+
+    if options.flags & Flags.UNIFORM:
+        cc3 = [[pixels[px][0] - pixels[px][2],
+                pixels[px][0] - (pixels[px][1] << 1) + pixels[px][2]]
+               for px in range(16)]
+        centroid = [None, None]
+        for px in range(16):
+            for ch in range(2):
+                centroid[ch] = cc3[px][ch] if centroid[ch] is None \
+                    else centroid[ch] + cc3[px][ch]
+        if punchthrough:
+            for px in range(16):
+                for ch in range(2):
+                    chroma[px][ch] = lanes.to_float(
+                        cc3[px][ch] * num_opaque - centroid[ch])
+        else:
+            for px in range(16):
+                for ch in range(2):
+                    chroma[px][ch] = lanes.to_float(
+                        (cc3[px][ch] << 4) - centroid[ch])
+        rcp_sqrt3 = np.float32(0.57735026918962576450914878050196)
+        for px in range(16):
+            chroma[px][1] = chroma[px][1] * rcp_sqrt3
+    else:
+        a0, a1 = chroma_side_axes(options)
+        cc3 = []
+        for px in range(16):
+            p0, p1, p2 = pw[px]
+            cc3.append([p0 * a0[0] + p1 * a0[1] + p2 * a0[2],
+                        p0 * a1[0] + p1 * a1[1] + p2 * a1[2]])
+        centroid = [None, None]
+        for px in range(16):
+            for ch in range(2):
+                centroid[ch] = cc3[px][ch] if centroid[ch] is None \
+                    else centroid[ch] + cc3[px][ch]
+        if punchthrough:
+            num_opaque_f = lanes.to_float(num_opaque)
+            for px in range(16):
+                for ch in range(2):
+                    chroma[px][ch] = cc3[px][ch] * num_opaque_f - centroid[ch]
+        else:
+            for px in range(16):
+                for ch in range(2):
+                    chroma[px][ch] = cc3[px][ch] * np.float32(16.0) \
+                        - centroid[ch]
+
+    cov_xx = cov_yy = cov_xy = None
+    for px in range(16):
+        nx, ny = chroma[px]
+        xx, yy, xy = nx * nx, ny * ny, nx * ny
+        cov_xx = xx if cov_xx is None else cov_xx + xx
+        cov_yy = yy if cov_yy is None else cov_yy + yy
+        cov_xy = xy if cov_xy is None else cov_xy + xy
+
+    half_trace = (cov_xx + cov_yy) * np.float32(0.5)
+    det = cov_xx * cov_yy - cov_xy * cov_xy
+    mm = exact_sqrt(jnp.maximum(np.float32(0.0),
+                                half_trace * half_trace - det))
+    ev = half_trace + mm
+    dx = cov_yy - ev + cov_xy
+    dy = -(cov_xx - ev + cov_xy)
+    all_zero = (dx == 0.0) & (dy == 0.0)
+    dx = jnp.where(all_zero, np.float32(1.0), dx)
+
+    return [(chroma[px][0] * dx + chroma[px][1] * dy) < np.float32(0.0)
+            for px in range(16)]
+
+
+def compress_etc2(pixels_u8, options: Options, punchthrough_alpha: bool):
+    """CompressETC2Block (ETC.cpp:1664-1887). Returns uint8 [N, 8]."""
+    pixels, pw = extract_blocks(pixels_u8, options)
+    n = pixels[0][0].shape[0]
+    p = jnp.asarray(pixels_u8, dtype=jnp.int32)
+
+    if punchthrough_alpha:
+        f_thr = max(min(1.0, options.threshold), 0.0) * 255.0
+        thr = int(np.floor(np.float32(f_thr) + 1.0))
+        is_transparent = [p[:, px, 3] < thr for px in range(16)]
+        any_transparent = is_transparent[0]
+        all_transparent = is_transparent[0]
+        for px in range(1, 16):
+            any_transparent = any_transparent | is_transparent[px]
+            all_transparent = all_transparent & is_transparent[px]
+        # transparent pixels are zeroed (ETC.cpp:1705-1717)
+        for px in range(16):
+            for ch in range(3):
+                pixels[px][ch] = jnp.where(is_transparent[px], 0,
+                                           pixels[px][ch])
+                pw[px][ch] = jnp.where(is_transparent[px], np.float32(0.0),
+                                       pw[px][ch])
+    else:
+        is_transparent = [jnp.zeros((n,), dtype=bool) for _ in range(16)]
+        any_transparent = jnp.zeros((n,), dtype=bool)
+        all_transparent = jnp.zeros((n,), dtype=bool)
+
+    num_opaque = 16 - sum(t.astype(jnp.int32) for t in is_transparent)
+
+    stage = StageBest(n)
+
+    # opaque stages (per-lane skipped when all-transparent)
+    encode_planar(stage, 0, pixels, pw, options)
+    sectors = _sector_assignments(pixels, pw, options, is_transparent,
+                                  num_opaque, punchthrough_alpha)
+    encode_tmode(stage, 1, sectors, pixels, pw, options)
+    flipped = [~s for s in sectors]
+    encode_tmode(stage, 2, flipped, pixels, pw, options)
+    encode_hmode(stage, 3, flipped, pixels, pw, options)
+    compress_etc1_internal(stage, 4, pixels, pw, options,
+                           punchthrough_min_d=True)
+
+    if punchthrough_alpha:
+        # punchthrough restart: only lanes with any transparency run the
+        # punchthrough stages (per-lane AnySet semantics, ETC.cpp:1866-1886)
+        stage.reset_where(any_transparent)
+        stage.lane_mask = any_transparent
+        encode_virtual_tmode_punchthrough(
+            stage, 10, sectors, pixels, pw, is_transparent, options)
+        encode_virtual_tmode_punchthrough(
+            stage, 11, flipped, pixels, pw, is_transparent, options)
+        compress_etc1_punchthrough(stage, 12, pixels, pw, is_transparent,
+                                   options)
+
+    return stage.to_bytes()
+
+
+def compress_etc2_alpha(pixels_u8, options: Options):
+    """CompressETC2AlphaBlock (ETC.cpp:1889-1900): 8-bit alpha plane."""
+    p = jnp.asarray(pixels_u8, dtype=jnp.int32)
+    pixels = [p[:, px, 3] for px in range(16)]
+    return _compress_alpha_internal(pixels, False, False)
+
+
+def compress_eac11(pixels_s16, is_signed: bool, options: Options):
+    """CompressEACBlock (ETC.cpp:2087-2114): 11-bit single channel."""
+    p = jnp.asarray(pixels_s16, dtype=jnp.int16).astype(jnp.int32)
+    pixels = []
+    for px in range(16):
+        v = p[:, px]
+        if is_signed:
+            v = jnp.maximum(1, jnp.minimum(v, 1023) + 1024)
+        else:
+            v = jnp.maximum(0, jnp.minimum(v, 2047))
+        pixels.append(v)
+    return _compress_alpha_internal(pixels, True, is_signed)
+
+
+def _compress_alpha_internal(pixels, is_11bit: bool, is_signed: bool):
+    """CompressETC2AlphaBlockInternal (ETC.cpp:1902-2085)."""
+    n = pixels[0].shape[0]
+    min_a = pixels[0]
+    max_a = pixels[0]
+    for px in range(1, 16):
+        min_a = jnp.minimum(min_a, pixels[px])
+        max_a = jnp.maximum(max_a, pixels[px])
+    span = max_a - min_a
+    mid2 = max_a + min_a
+
+    mod_pos = etc_tables.ALPHA_MODIFIER_TABLE_POSITIVE
+    rounding = jnp.asarray(etc_tables.alpha_rounding_tables())
+
+    best_err = jnp.full((n,), 0x7FFFFFFF, dtype=jnp.int32)
+    best_table = jnp.zeros((n,), dtype=jnp.int32)
+    best_base = jnp.zeros((n,), dtype=jnp.int32)
+    best_mult = jnp.zeros((n,), dtype=jnp.int32)
+    best_idx = [jnp.zeros((n,), dtype=jnp.int32) for _ in range(16)]
+
+    for table_index in range(16):
+        for r in range(10):
+            subrange = r % 3
+            main_range = r // 3
+            max_off = int(mod_pos[table_index][3 - main_range
+                                               - (subrange & 1)])
+            min_off = -int(mod_pos[table_index][3 - main_range
+                                                - ((subrange >> 1) & 1)]) - 1
+            off_span = max_off - min_off
+
+            min_mult = span // off_span
+            if is_11bit:
+                min_mult = jnp.minimum(min_mult, 112) & 120
+            else:
+                min_mult = jnp.maximum(jnp.minimum(min_mult, 14), 1)
+
+            for mult_off in range(2):
+                mult = min_mult
+                if is_11bit:
+                    mult = mult + 8 if mult_off == 1 else jnp.maximum(mult, 1)
+                else:
+                    mult = mult + 1 if mult_off == 1 else mult
+
+                mult_min_off = mult * min_off
+                mult_max_off = mult * max_off
+                unclamped2 = mid2 - mult_max_off - mult_min_off
+
+                if is_11bit:
+                    if is_signed:
+                        unclamped2 = unclamped2 + 8
+                    min_base2 = 16 if is_signed else 0
+                    clamped2 = jnp.minimum(jnp.maximum(unclamped2,
+                                                       min_base2), 4095)
+                    base = (clamped2 >> 1) & 2040
+                    if not is_signed:
+                        base = base + 4
+                else:
+                    clamped2 = jnp.minimum(jnp.maximum(unclamped2, 0), 510)
+                    base = (clamped2 + 1) >> 1
+
+                idx_list = []
+                total = jnp.zeros((n,), dtype=jnp.int32)
+                for px in range(16):
+                    q, idx = _quantize_etc2_alpha(
+                        table_index, pixels[px], base, mult, is_11bit,
+                        is_signed, rounding, mod_pos)
+                    d = q - pixels[px]
+                    total = total + d * d  # wraps like the reference's i32
+                    idx_list.append(idx)
+
+                better = total < best_err
+                best_err = jnp.where(better, total, best_err)
+                best_table = jnp.where(better, table_index, best_table)
+                best_base = jnp.where(better, base, best_base)
+                best_mult = jnp.where(better, mult, best_mult)
+                for px in range(16):
+                    best_idx[px] = jnp.where(better, idx_list[px],
+                                             best_idx[px])
+
+    if is_11bit:
+        best_mult = best_mult >> 3
+        if is_signed:
+            best_base = best_base ^ 0x80
+
+    # emission (ETC.cpp:2049-2084)
+    byte0 = best_base & 0xFF
+    byte1 = (best_mult << 4) | best_table
+    # 16 x 3-bit big-endian stream in pixelSelectorOrder
+    ordered = [None] * 16
+    for px in range(16):
+        ordered[int(PIXEL_SELECTOR_ORDER[px])] = best_idx[px]
+    stream_hi = jnp.zeros((n,), dtype=jnp.int32)  # bits for bytes 2..7
+    stream_lo = jnp.zeros((n,), dtype=jnp.int32)
+    for s in range(16):
+        bitpos = 45 - 3 * s  # MSB-first 48-bit stream
+        if bitpos >= 24:
+            stream_hi = stream_hi | (ordered[s] << (bitpos - 24))
+        elif bitpos >= 0:
+            stream_lo = stream_lo | (ordered[s] << bitpos)
+            if bitpos > 21:  # straddles the 24-bit boundary
+                stream_hi = stream_hi | (ordered[s] >> (24 - bitpos))
+        # (3-bit fields at bitpos 21..0 never straddle below 0)
+
+    cols = [byte0, byte1]
+    for k in range(3):
+        cols.append((stream_hi >> (16 - 8 * k)) & 0xFF)
+    for k in range(3):
+        cols.append((stream_lo >> (16 - 8 * k)) & 0xFF)
+    return jnp.stack(cols, axis=-1).astype(jnp.uint8)
+
+
+def _quantize_etc2_alpha(table_index, value, base, mult, is_11bit, is_signed,
+                         rounding, mod_pos):
+    """QuantizeETC2Alpha (ETC.cpp:2366-2412)."""
+    offset = value - base
+    offset2 = offset + offset
+    about_reflector2 = offset2 + mult
+    abs_ar2 = jnp.abs(about_reflector2)
+    lookup = (abs_ar2 >> 1) // jnp.maximum(mult, 1)
+    lookup = jnp.minimum(lookup, etc_tables.ALPHA_ROUNDING_TABLE_WIDTH - 1)
+    pos_index = jnp.take(rounding[table_index], lookup)
+    pos_table = jnp.asarray(mod_pos[table_index])
+    pos_offset = jnp.take(pos_table, pos_index)
+
+    sign_bits = about_reflector2 >> 31  # 0 or -1
+    offset_unmult = pos_offset ^ sign_bits
+    quant_offset = offset_unmult * mult
+    offset_value = base + quant_offset
+
+    if is_11bit:
+        lo = 1 if is_signed else 0
+        q = jnp.minimum(2047, jnp.maximum(lo, offset_value))
+    else:
+        q = jnp.minimum(255, jnp.maximum(0, offset_value))
+
+    index_sub = sign_bits & 4
+    out_index = pos_index + 4 - index_sub
+    return q, out_index
+
+
+def encode_virtual_tmode_punchthrough(stage, rank_base, is_isolated_base,
+                                      pixels, pw, is_transparent,
+                                      options: Options):
+    """EncodeVirtualTModePunchthrough (ETC.cpp:888-1264)."""
+    n = pixels[0][0].shape[0]
+    fake = bool(options.flags & Flags.ETC_USE_FAKE_BT709)
+
+    is_iso = [is_isolated_base[px] & ~is_transparent[px] for px in range(16)]
+    is_line = [~is_isolated_base[px] & ~is_transparent[px]
+               for px in range(16)]
+
+    iso_total = [jnp.zeros((n,), dtype=jnp.int32) for _ in range(3)]
+    line_total = [jnp.zeros((n,), dtype=jnp.int32) for _ in range(3)]
+    num_iso = jnp.zeros((n,), dtype=jnp.int32)
+    num_line = jnp.zeros((n,), dtype=jnp.int32)
+    for px in range(16):
+        for ch in range(3):
+            iso_total[ch] = iso_total[ch] + jnp.where(is_iso[px],
+                                                      pixels[px][ch], 0)
+            line_total[ch] = line_total[ch] + jnp.where(is_line[px],
+                                                        pixels[px][ch], 0)
+        num_iso = num_iso + is_iso[px].astype(jnp.int32)
+        num_line = num_line + is_line[px].astype(jnp.int32)
+
+    divisors = num_iso * 34
+    addend = (num_iso << 4) | num_iso
+    th_mods = etc_tables.TH_MODIFIER_TABLE
+    iso_avg_q = []
+    iso_targets = []
+    h_iso_q = [[None] * 3 for _ in range(8)]
+    for ch in range(3):
+        numerator = iso_total[ch] + iso_total[ch]
+        if not fake:
+            numerator = numerator + addend
+        iso_avg_q.append(_div_exact_int(numerator, divisors))
+        iso_targets.append(numerator)
+        for table in range(8):
+            off_total = iso_total[ch] + int(th_mods[table]) * num_iso
+            h_num = (off_total + off_total) + addend
+            h_iso_q[table][ch] = _div_exact_int(h_num, divisors)
+    if fake:
+        iso_avg_q = _resolve_th_fake_bt709(iso_avg_q, iso_targets, num_iso)
+    for table in range(8):
+        for ch in range(3):
+            h_iso_q[table][ch] = jnp.minimum(15, h_iso_q[table][ch])
+
+    iso_color = [(q) | (q << 4) for q in iso_avg_q]
+    iso_error = []
+    for px in range(16):
+        e = compute_error(iso_color, pixels[px], pw[px], options)
+        iso_error.append(jnp.where(is_transparent[px], np.float32(0.0), e))
+
+    line_divisors = num_line * 34
+    line_addend = (num_line << 4) | num_line
+
+    opts_no_fake = Options(
+        flags=options.flags & ~Flags.ETC_USE_FAKE_BT709,
+        red_weight=options.red_weight, green_weight=options.green_weight,
+        blue_weight=options.blue_weight)
+
+    best = None
+    for table in range(8):
+        modifier = int(th_mods[table])
+        # premultiplier scan, step 2 (ETC.cpp:1046)
+        offs = np.arange(-16, 17, 2, dtype=np.int32)
+        offs_b = jnp.asarray(offs)[None, :]
+        clamped = jnp.maximum(-num_line[:, None],
+                              jnp.minimum(num_line[:, None], offs_b))
+        mod_addend = clamped * (2 * modifier)
+
+        quantized = []
+        targets = []
+        for ch in range(3):
+            if fake:
+                numer = jnp.maximum(0, (line_total[ch] * 2)[:, None]
+                                    + mod_addend)
+            else:
+                numer = jnp.maximum(
+                    0, (line_total[ch] * 2 + line_addend)[:, None]
+                    + mod_addend)
+            q = jnp.minimum(15, _div_exact_int(numer,
+                                               line_divisors[:, None]))
+            quantized.append(q)
+            targets.append(numer)
+        if fake:
+            quantized = _resolve_th_fake_bt709(quantized, targets,
+                                               num_line[:, None])
+            quantized = [jnp.minimum(15, q) for q in quantized]
+        # NOTE: punchthrough T packs channels reversed (r<<10) vs opaque T
+        packed = (quantized[0] << 10) | (quantized[1] << 5) | quantized[2]
+
+        # H-mode isolated color for this table
+        h_unq = [(h_iso_q[table][ch] << 4) | h_iso_q[table][ch]
+                 for ch in range(3)]
+        h_color = [jnp.maximum(0, h_unq[ch] - modifier) for ch in range(3)]
+        h_errors = []
+        for px in range(16):
+            e = compute_error(h_color, pixels[px], pw[px], opts_no_fake)
+            h_errors.append(jnp.where(is_transparent[px], np.float32(0.0),
+                                      e))
+        packed_h2 = (h_iso_q[table][0] << 10) | (h_iso_q[table][1] << 5) \
+            | h_iso_q[table][2]
+        table_low_bit_zero = (table & 1) == 0
+
+        # per-candidate line colors (2 selectors: +M, -M)
+        unq = [((packed >> (10 - ch * 5)) & 15) for ch in range(3)]
+        unq = [(q << 4) | q for q in unq]
+        line_colors = [
+            [jnp.minimum(255, unq[ch] + modifier) for ch in range(3)],
+            [jnp.maximum(0, unq[ch] - modifier) for ch in range(3)],
+        ]
+
+        t_err = None
+        h_err = None
+        line_best_err = []
+        line_best_sel = []
+        for px in range(16):
+            pix = [pixels[px][ch][:, None] for ch in range(3)]
+            pwp = [pw[px][ch][:, None] for ch in range(3)]
+            e0 = compute_error(line_colors[0], pix, pwp, opts_no_fake)
+            e1 = compute_error(line_colors[1], pix, pwp, opts_no_fake)
+            # scalar LessOrEqual is `<` (ParallelMath.h:1589-1597)
+            first_better = e0 < e1
+            sel = jnp.where(first_better, 1, 3)
+            le = jnp.minimum(e0, e1)
+            le = jnp.where(is_transparent[px][:, None], np.float32(0.0), le)
+            line_best_err.append(le)
+            line_best_sel.append(sel)
+            te = jnp.minimum(le, iso_error[px][:, None])
+            he = jnp.minimum(le, h_errors[px][:, None])
+            t_err = te if t_err is None else t_err + te
+            h_err = he if h_err is None else h_err + he
+
+        h_less = h_err < t_err
+        h_must_zero = packed < packed_h2[:, None]
+        h_legal = h_must_zero == table_low_bit_zero
+        use_h = h_less & h_legal
+        round_err = jnp.where(use_h, h_err, t_err)
+
+        selectors = None
+        for px in range(16):
+            sel = line_best_sel[px]
+            iso_px_err = jnp.where(use_h, h_errors[px][:, None],
+                                   iso_error[px][:, None])
+            iso_better = iso_px_err < line_best_err[px]
+            sel = jnp.where(iso_better, 0, sel)
+            sel = jnp.where(is_transparent[px][:, None], 2, sel)
+            s = sel << (px * 2)
+            selectors = s if selectors is None else selectors | s
+
+        win = jnp.argmin(round_err, axis=-1)
+
+        def g(x, win=win):
+            return jnp.take_along_axis(x, win[:, None], axis=1)[:, 0]
+
+        cand = dict(error=g(round_err), packed=g(packed), selectors=g(selectors),
+                    use_h=g(use_h), h2=packed_h2,
+                    table=jnp.full((n,), table, dtype=jnp.int32))
+        if best is None:
+            best = cand
+        else:
+            better = cand["error"] < best["error"]
+            best = {k: jnp.where(better, cand[k], best[k]) for k in cand}
+
+    # emit: H-mode remap when use_h (ETC.cpp:1240-1260)
+    line_color = [(best["packed"] >> (10 - ch * 5)) & 15 for ch in range(3)]
+    t_hi, t_lo = _emit_tmode(line_color, iso_avg_q, best["selectors"],
+                             best["table"], False, n)
+
+    remap_sector = np.array([1, 0, 1, 0], dtype=np.int32)
+    remap_sign = np.array([1, 0, 0, 1], dtype=np.int32)
+    sector_bits = jnp.zeros((n,), dtype=jnp.int32)
+    sign_bits = jnp.zeros((n,), dtype=jnp.int32)
+    for px in range(16):
+        sel = (best["selectors"] >> (px * 2)) & 3
+        sector_bits = sector_bits | (jnp.take(jnp.asarray(remap_sector), sel)
+                                     << px)
+        sign_bits = sign_bits | (jnp.take(jnp.asarray(remap_sign), sel) << px)
+    h_hi, h_lo = _emit_hmode([best["packed"], best["h2"]], sector_bits,
+                             sign_bits, best["table"], False, n)
+
+    hi = jnp.where(best["use_h"], h_hi, t_hi)
+    lo = jnp.where(best["use_h"], h_lo, t_lo)
+    stage.update(best["error"], rank_base, hi, lo)
+
+
+def compress_etc1_punchthrough(stage, rank_base, pixels, pw, is_transparent,
+                               options: Options):
+    """CompressETC1PunchthroughBlockInternal (ETC.cpp:2884-3058)."""
+    n = pixels[0][0].shape[0]
+    modifiers = np.asarray([8, 17, 29, 42, 60, 80, 106, 183], dtype=np.int32)
+
+    for flip in range(2):
+        sector_pixels = [[], []]
+        sector_pw = [[], []]
+        sector_cum = [[], []]
+        sector_transparent = [[], []]
+        for sector in range(2):
+            cum = [None] * 3
+            for px in range(8):
+                src = int(FLIP_TABLES[flip][sector][px])
+                sector_pixels[sector].append(pixels[src])
+                sector_pw[sector].append(pw[src])
+                sector_transparent[sector].append(is_transparent[src])
+                for ch in range(3):
+                    v = pixels[src][ch]
+                    cum[ch] = v if cum[ch] is None else cum[ch] + v
+            sector_cum[sector] = cum
+
+        can_ignore = []
+        for sector in range(2):
+            ig = sector_transparent[sector][0]
+            for px in range(1, 8):
+                ig = ig & sector_transparent[sector][px]
+            can_ignore.append(ig)
+
+        diff_data = [None, None]
+        for sector in range(2):
+            num_opaque = jnp.zeros((n,), dtype=jnp.int32)
+            for px in range(8):
+                num_opaque = num_opaque + sector_transparent[sector][
+                    px].astype(jnp.int32)
+            # NOTE: the reference counts *transparent* pixels into
+            # sectorNumOpaque (ETC.cpp:2955-2957) — name notwithstanding —
+            # replicated exactly.
+            denom = jnp.maximum(1, num_opaque) << 8
+            add = num_opaque << 7
+            cum_max = 255 * num_opaque
+
+            offs = np.arange(-8, 9, dtype=np.int32)  # om in [-8, 8]
+            offs_b = jnp.asarray(offs)[None, :]
+            clamped = jnp.maximum(-num_opaque[:, None],
+                                  jnp.minimum(num_opaque[:, None], offs_b))
+
+            colors = []
+            errors = []
+            sels = []
+            for table in range(8):
+                offset = clamped * int(modifiers[table])
+                quant = []
+                for ch in range(3):
+                    cu = jnp.minimum(
+                        cum_max[:, None],
+                        jnp.maximum(0, sector_cum[sector][ch][:, None]
+                                    + offset))
+                    numer = (cu << 5) - cu + (cu >> 3) + add[:, None]
+                    quant.append(numer // denom[:, None])
+                packed = quant[0] | (quant[1] << 5) | (quant[2] << 10)
+                err, sel = _test_half_block_punchthrough(
+                    packed, sector_pixels[sector], sector_pw[sector],
+                    sector_transparent[sector], int(modifiers[table]),
+                    options)
+                colors.append(packed)
+                errors.append(err)
+                sels.append(sel)
+
+            color_cat = jnp.concatenate(colors, axis=1)
+            diff_data[sector] = dict(
+                error=jnp.concatenate(errors, axis=1),
+                color=color_cat,
+                selectors=jnp.concatenate(sels, axis=1),
+                table=jnp.concatenate(
+                    [jnp.full_like(colors[t], t) for t in range(8)], axis=1),
+                urank=_unique_rank(color_cat, 8, colors[0].shape[1]),
+            )
+
+        win = _resolve_differential(diff_data, n, can_ignore=can_ignore)
+        hi, lo = _emit_etc1(flip, 1, win, n, transparent=True)
+        stage.update(win[0]["total"], rank_base + flip, hi, lo)
+
+
+def _test_half_block_punchthrough(packed, sector_pixels, sector_pw,
+                                  sector_transparent, modifier: int,
+                                  options: Options):
+    """TestHalfBlockPunchthrough (ETC.cpp:151-217)."""
+    quant = [(packed >> (ch * 5)) & 31 for ch in range(3)]
+    unquant = [(q << 3) | (q >> 2) for q in quant]
+    modified = [
+        [jnp.maximum(u, modifier) - modifier for u in unquant],
+        [u for u in unquant],
+        [jnp.minimum(u + modifier, 255) for u in unquant],
+    ]
+
+    selectors = None
+    total = None
+    for px in range(8):
+        pix = [sector_pixels[px][ch][:, None] for ch in range(3)]
+        pwp = [sector_pw[px][ch][:, None] for ch in range(3)]
+        best_err = None
+        best_sel = None
+        for s in range(3):
+            e = compute_error(modified[s], pix, pwp, options)
+            if best_err is None:
+                best_err = e
+                best_sel = jnp.zeros_like(packed)
+            else:
+                better = e < best_err
+                best_sel = jnp.where(better, s, best_sel)
+                best_err = jnp.minimum(e, best_err)
+        # remap selector (1->2, 2->3); transparent -> selector 1, error 0
+        best_sel = jnp.minimum(3, best_sel << 1)
+        tr = sector_transparent[px][:, None]
+        best_err = jnp.where(tr, np.float32(0.0), best_err)
+        best_sel = jnp.where(tr, 1, best_sel)
+        total = best_err if total is None else total + best_err
+        s_sh = best_sel << (px * 2)
+        selectors = s_sh if selectors is None else selectors | s_sh
+    return total, selectors
+
+
+def _emit_etc1(flip: int, d: int, win, n, transparent: bool):
+    """EmitETC1Block (ETC.cpp:2565-2622), vectorized. flip/d static here."""
+    colors = [[(win[s]["color"] >> (ch * 5)) & 31 for ch in range(3)]
+              for s in range(2)]
+    hi = jnp.zeros((n,), dtype=jnp.int32)
+    if d == 0:
+        shifts = [(28, 24), (20, 16), (12, 8)]
+        for ch, (s0, s1) in enumerate(shifts):
+            hi = hi | (colors[0][ch] << s0) | (colors[1][ch] << s1)
+    else:
+        shifts = [(27, 24), (19, 16), (11, 8)]
+        for ch, (s0, s1) in enumerate(shifts):
+            hi = hi | (colors[0][ch] << s0) \
+                | (((colors[1][ch] - colors[0][ch]) & 7) << s1)
+    hi = hi | (win[0]["table"] << 5) | (win[1]["table"] << 2)
+    if not transparent:
+        hi = hi | (d << 1)
+    hi = hi | flip
+
+    # unpack selectors to full-block order, remap to modifier codes
+    codes = jnp.asarray(MODIFIER_CODES)
+    unpacked = [None] * 16
+    for sector in range(2):
+        sel = win[sector]["selectors"]
+        for px in range(8):
+            dst = int(FLIP_TABLES[flip][sector][px])
+            unpacked[dst] = jnp.take(codes, (sel >> (2 * px)) & 3)
+
+    lo = jnp.zeros((n,), dtype=jnp.int32)
+    for sb in range(2):
+        for px in range(16):
+            src = int(PIXEL_SELECTOR_ORDER[px])
+            lo = lo | (((unpacked[src] >> sb) & 1) << (px + sb * 16))
+    return hi, lo
+
+
+def _emit_tmode(line_color, isolated_color, selectors, table, opaque, n):
+    """EmitTModeBlock (ETC.cpp:2414-2460). line/isolated: 3 arrays of 4-bit
+    (line) / 4-bit (isolated) channel values (isolated may be 5-bit when
+    called from H-mode fallback)."""
+    hi = jnp.zeros((n,), dtype=jnp.int32)
+    rh = (isolated_color[0] >> 2) & 3
+    rl = isolated_color[0] & 3
+    overflow_low = (rh + rl) < 4
+    hi = jnp.where(overflow_low, hi | (1 << (58 - 32)), hi | (7 << (61 - 32)))
+    hi = hi | (rh << (59 - 32)) | (rl << (56 - 32))
+    hi = hi | (isolated_color[1] << (52 - 32)) | (isolated_color[2] << (48 - 32))
+    hi = hi | (line_color[0] << (44 - 32)) | (line_color[1] << (40 - 32)) \
+        | (line_color[2] << (36 - 32))
+    hi = hi | (((table >> 1) & 3) << (34 - 32))
+    if opaque:
+        hi = hi | (1 << (33 - 32))
+    hi = hi | ((table & 1) << (32 - 32))
+
+    lo = jnp.zeros((n,), dtype=jnp.int32)
+    for px in range(16):
+        sel = (selectors >> (2 * int(PIXEL_SELECTOR_ORDER[px]))) & 3
+        lo = lo | ((sel & 1) << px) | (((sel >> 1) & 1) << (16 + px))
+    return hi, lo
+
+
+def _emit_hmode(block_colors, sector_bits, sign_bits, table, opaque, n):
+    """EmitHModeBlock (ETC.cpp:2462-2563), incl. the equal-colors T-mode
+    fallback, vectorized with a select."""
+    same = block_colors[0] == block_colors[1]
+
+    # T-mode fallback for equal colors
+    t_line = [(block_colors[0] >> sh) & 0x1F for sh in (10, 5, 0)]
+    t_sel = jnp.full((n,), 0x55555555, dtype=jnp.int32)
+    for px in range(16):
+        t_sel = t_sel | (((sign_bits >> px) & 1) << (px * 2 + 1))
+    t_hi, t_lo = _emit_tmode(t_line, t_line, t_sel, table, opaque, n)
+
+    colors = [[(block_colors[s] >> ((2 - ch) * 5)) & 15 for ch in range(3)]
+              for s in range(2)]
+    swap = ((table & 1) == 1) != (block_colors[0] > block_colors[1])
+    c = [[jnp.where(swap, colors[1][ch], colors[0][ch]) for ch in range(3)],
+         [jnp.where(swap, colors[0][ch], colors[1][ch]) for ch in range(3)]]
+    sector_bits = jnp.where(swap, sector_bits ^ 0xFFFF, sector_bits)
+
+    r1 = c[0][0]
+    g1a = c[0][1] >> 1
+    g1b = c[0][1] & 1
+    b1a = c[0][2] >> 3
+    b1b = c[0][2] & 7
+    r2, g2, b2 = c[1][0], c[1][1], c[1][2]
+
+    hi = jnp.zeros((n,), dtype=jnp.int32)
+    hi = jnp.where(((g1a & 4) != 0) & (r1 + g1a < 8), hi | (1 << (63 - 32)),
+                   hi)
+    fake_dg = b1b >> 1
+    fake_g = b1a | (g1b << 1)
+    hi = jnp.where(fake_g + fake_dg < 4, hi | (1 << (50 - 32)),
+                   hi | (7 << (53 - 32)))
+    da = (table >> 2) & 1
+    db = (table >> 1) & 1
+    hi = hi | (r1 << (59 - 32)) | (g1a << (56 - 32)) | (g1b << (52 - 32)) \
+        | (b1a << (51 - 32)) | (b1b << (47 - 32)) | (r2 << (43 - 32)) \
+        | (g2 << (39 - 32)) | (b2 << (35 - 32)) | (da << (34 - 32)) \
+        | (db << (32 - 32))
+    if opaque:
+        hi = hi | (1 << (33 - 32))
+
+    lo = jnp.zeros((n,), dtype=jnp.int32)
+    for px in range(16):
+        src = int(PIXEL_SELECTOR_ORDER[px])
+        lo = lo | (((sign_bits >> src) & 1) << px) \
+            | (((sector_bits >> src) & 1) << (16 + px))
+
+    return jnp.where(same, t_hi, hi), jnp.where(same, t_lo, lo)
