@@ -254,3 +254,21 @@ def encode_eac11(pixels, signed: bool = False,
                  options: Options = Options()):
     """Kernels::EncodeETC2Alpha11 (API.cpp:259-268): [N,16] i16 -> [N,8]."""
     return _eac_fn(options, signed)(jnp.asarray(pixels, dtype=jnp.int16))
+
+
+def decode_bc7(blocks):
+    """Kernels::DecodeBC7 (API.cpp:288-298): [N,16] -> [N,16,4] u8."""
+    from .models import decode
+    return decode.decode_bc7(np.asarray(blocks))
+
+
+def decode_bc6hu(blocks):
+    """Kernels::DecodeBC6HU (API.cpp:300-310): [N,16] -> [N,16,4] f16 bits."""
+    from .models import decode
+    return decode.decode_bc6h(np.asarray(blocks), signed=False)
+
+
+def decode_bc6hs(blocks):
+    """Kernels::DecodeBC6HS (API.cpp:312-322)."""
+    from .models import decode
+    return decode.decode_bc6h(np.asarray(blocks), signed=True)

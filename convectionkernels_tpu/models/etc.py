@@ -972,7 +972,7 @@ def _emit_planar(best_coeffs, n):
 
     hi = jnp.zeros((n,), dtype=jnp.int32)
     hi = jnp.where(((fake_dr & 4) != 0) & (fake_r + fake_dr < 8),
-                   hi | (1 << (63 - 32)), hi)
+                   hi | np.int32(-2147483648), hi)
     hi = jnp.where(((fake_dg & 4) != 0) & (fake_g + fake_dg < 8),
                    hi | (1 << (55 - 32)), hi)
     hi = jnp.where(fake_b + fake_db < 4, hi | (1 << (42 - 32)),
@@ -1176,7 +1176,11 @@ def compress_eac11(pixels_s16, is_signed: bool, options: Options):
 
 
 def _compress_alpha_internal(pixels, is_11bit: bool, is_signed: bool):
-    """CompressETC2AlphaBlockInternal (ETC.cpp:1902-2085)."""
+    """CompressETC2AlphaBlockInternal (ETC.cpp:1902-2085).
+
+    The reference's table(16) x range(10) x multiplier(2) loops become one
+    320-wide candidate axis; its sequential strict-less update order
+    (table-major) is reproduced by first-occurrence argmin."""
     n = pixels[0].shape[0]
     min_a = pixels[0]
     max_a = pixels[0]
@@ -1187,14 +1191,13 @@ def _compress_alpha_internal(pixels, is_11bit: bool, is_signed: bool):
     mid2 = max_a + min_a
 
     mod_pos = etc_tables.ALPHA_MODIFIER_TABLE_POSITIVE
-    rounding = jnp.asarray(etc_tables.alpha_rounding_tables())
+    rounding = etc_tables.alpha_rounding_tables()
 
-    best_err = jnp.full((n,), 0x7FFFFFFF, dtype=jnp.int32)
-    best_table = jnp.zeros((n,), dtype=jnp.int32)
-    best_base = jnp.zeros((n,), dtype=jnp.int32)
-    best_mult = jnp.zeros((n,), dtype=jnp.int32)
-    best_idx = [jnp.zeros((n,), dtype=jnp.int32) for _ in range(16)]
-
+    # static per-candidate parameters in visitation order
+    cand_table = []
+    cand_min_off = []
+    cand_max_off = []
+    cand_mult_off = []
     for table_index in range(16):
         for r in range(10):
             subrange = r % 3
@@ -1203,56 +1206,91 @@ def _compress_alpha_internal(pixels, is_11bit: bool, is_signed: bool):
                                                - (subrange & 1)])
             min_off = -int(mod_pos[table_index][3 - main_range
                                                 - ((subrange >> 1) & 1)]) - 1
-            off_span = max_off - min_off
-
-            min_mult = span // off_span
-            if is_11bit:
-                min_mult = jnp.minimum(min_mult, 112) & 120
-            else:
-                min_mult = jnp.maximum(jnp.minimum(min_mult, 14), 1)
-
             for mult_off in range(2):
-                mult = min_mult
-                if is_11bit:
-                    mult = mult + 8 if mult_off == 1 else jnp.maximum(mult, 1)
-                else:
-                    mult = mult + 1 if mult_off == 1 else mult
+                cand_table.append(table_index)
+                cand_min_off.append(min_off)
+                cand_max_off.append(max_off)
+                cand_mult_off.append(mult_off)
+    cand_table = np.asarray(cand_table, dtype=np.int32)
+    cand_min_off = np.asarray(cand_min_off, dtype=np.int32)
+    cand_max_off = np.asarray(cand_max_off, dtype=np.int32)
+    cand_mult_off = np.asarray(cand_mult_off, dtype=np.int32)
+    off_span = cand_max_off - cand_min_off
+    c = len(cand_table)
 
-                mult_min_off = mult * min_off
-                mult_max_off = mult * max_off
-                unclamped2 = mid2 - mult_max_off - mult_min_off
+    span_b = span[:, None]
+    min_mult = span_b // jnp.asarray(off_span)[None, :]
+    if is_11bit:
+        min_mult = jnp.minimum(min_mult, 112) & 120
+    else:
+        min_mult = jnp.maximum(jnp.minimum(min_mult, 14), 1)
 
-                if is_11bit:
-                    if is_signed:
-                        unclamped2 = unclamped2 + 8
-                    min_base2 = 16 if is_signed else 0
-                    clamped2 = jnp.minimum(jnp.maximum(unclamped2,
-                                                       min_base2), 4095)
-                    base = (clamped2 >> 1) & 2040
-                    if not is_signed:
-                        base = base + 4
-                else:
-                    clamped2 = jnp.minimum(jnp.maximum(unclamped2, 0), 510)
-                    base = (clamped2 + 1) >> 1
+    is_second = jnp.asarray((cand_mult_off == 1))[None, :]
+    if is_11bit:
+        mult = jnp.where(is_second, min_mult + 8, jnp.maximum(min_mult, 1))
+    else:
+        mult = jnp.where(is_second, min_mult + 1, min_mult)
 
-                idx_list = []
-                total = jnp.zeros((n,), dtype=jnp.int32)
-                for px in range(16):
-                    q, idx = _quantize_etc2_alpha(
-                        table_index, pixels[px], base, mult, is_11bit,
-                        is_signed, rounding, mod_pos)
-                    d = q - pixels[px]
-                    total = total + d * d  # wraps like the reference's i32
-                    idx_list.append(idx)
+    min_off_b = jnp.asarray(cand_min_off)[None, :]
+    max_off_b = jnp.asarray(cand_max_off)[None, :]
+    unclamped2 = mid2[:, None] - mult * max_off_b - mult * min_off_b
 
-                better = total < best_err
-                best_err = jnp.where(better, total, best_err)
-                best_table = jnp.where(better, table_index, best_table)
-                best_base = jnp.where(better, base, best_base)
-                best_mult = jnp.where(better, mult, best_mult)
-                for px in range(16):
-                    best_idx[px] = jnp.where(better, idx_list[px],
-                                             best_idx[px])
+    if is_11bit:
+        if is_signed:
+            unclamped2 = unclamped2 + 8
+        min_base2 = 16 if is_signed else 0
+        clamped2 = jnp.minimum(jnp.maximum(unclamped2, min_base2), 4095)
+        base = (clamped2 >> 1) & 2040
+        if not is_signed:
+            base = base + 4
+    else:
+        clamped2 = jnp.minimum(jnp.maximum(unclamped2, 0), 510)
+        base = (clamped2 + 1) >> 1
+
+    # per-candidate static lookup tables flattened for gathers
+    flat_rounding = jnp.asarray(
+        rounding[cand_table].reshape(-1))        # [C*13]
+    flat_mod_pos = jnp.asarray(
+        mod_pos[cand_table].reshape(-1))         # [C*4]
+    cand_offsets13 = jnp.asarray(
+        (np.arange(c) * etc_tables.ALPHA_ROUNDING_TABLE_WIDTH
+         ).astype(np.int32))[None, :]
+    cand_offsets4 = jnp.asarray((np.arange(c) * 4).astype(np.int32))[None, :]
+
+    total = jnp.zeros((n, c), dtype=jnp.int32)
+    idx_list = []
+    for px in range(16):
+        value = pixels[px][:, None]
+        offset = value - base
+        about_reflector2 = offset + offset + mult
+        abs_ar2 = jnp.abs(about_reflector2)
+        lookup = (abs_ar2 >> 1) // jnp.maximum(mult, 1)
+        lookup = jnp.minimum(lookup,
+                             etc_tables.ALPHA_ROUNDING_TABLE_WIDTH - 1)
+        pos_index = jnp.take(flat_rounding, cand_offsets13 + lookup)
+        pos_offset = jnp.take(flat_mod_pos, cand_offsets4 + pos_index)
+        sign_bits = about_reflector2 >> 31
+        offset_unmult = pos_offset ^ sign_bits
+        offset_value = base + offset_unmult * mult
+        if is_11bit:
+            lo = 1 if is_signed else 0
+            q = jnp.minimum(2047, jnp.maximum(lo, offset_value))
+        else:
+            q = jnp.minimum(255, jnp.maximum(0, offset_value))
+        d = q - value
+        total = total + d * d  # wraps like the reference's i32
+        idx_list.append(pos_index + 4 - (sign_bits & 4))
+
+    win = jnp.argmin(total, axis=-1)
+
+    def g(x):
+        return jnp.take_along_axis(x, win[:, None], axis=1)[:, 0]
+
+    best_err = g(total)
+    best_table = jnp.take(jnp.asarray(cand_table), win)
+    best_base = g(base)
+    best_mult = g(mult)
+    best_idx = [g(idx_list[px]) for px in range(16)]
 
     if is_11bit:
         best_mult = best_mult >> 3
@@ -1713,8 +1751,8 @@ def _emit_hmode(block_colors, sector_bits, sign_bits, table, opaque, n):
     r2, g2, b2 = c[1][0], c[1][1], c[1][2]
 
     hi = jnp.zeros((n,), dtype=jnp.int32)
-    hi = jnp.where(((g1a & 4) != 0) & (r1 + g1a < 8), hi | (1 << (63 - 32)),
-                   hi)
+    hi = jnp.where(((g1a & 4) != 0) & (r1 + g1a < 8),
+                   hi | np.int32(-2147483648), hi)
     fake_dg = b1b >> 1
     fake_g = b1a | (g1b << 1)
     hi = jnp.where(fake_g + fake_dg < 4, hi | (1 << (50 - 32)),
