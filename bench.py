@@ -9,9 +9,16 @@ by the reference's Mtexels/s for the same format and options.
 """
 
 import json
+import os
 import time
 
 import numpy as np
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "build",
+                 "jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 
 def blockify_test_image(n_blocks: int, seed: int = 42) -> np.ndarray:

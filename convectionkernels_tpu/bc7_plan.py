@@ -153,7 +153,9 @@ def plan_from_quality(quality: int) -> BC7EncodingPlan:
             elif mode == 4:
                 mode4[sub // 10][sub % 10] = sp
             elif mode == 5:
-                mode5[sub] = sp
+                # mode 5 codes are also rotation*10+indexMode encoded; the
+                # reference unpacks only the rotation bits (BC67.cpp:3340)
+                mode5[sub // 10] = sp
             elif mode == 6:
                 mode6 = sp
             elif mode == 7:

@@ -229,8 +229,9 @@ def pack(pixels_f16bits, flags: int, channel_weights, is_signed: bool,
     pixels = []
     f2cl = []
     flinw = []
+    f2cl_unw = []  # unweighted TwosCL floats (SqDiff2CL's pixel side)
     for px in range(16):
-        row, frow, lrow = [], [], []
+        row, frow, lrow, urow = [], [], [], []
         for ch in range(3):
             v = p[:, px, ch]
             if is_signed:
@@ -244,9 +245,11 @@ def pack(pixels_f16bits, flags: int, channel_weights, is_signed: bool,
             row.append(v)
             frow.append(lanes.to_float(v))
             lrow.append(lanes.twoscl_half_to_float(v) * cw[ch])
+            urow.append(lanes.twoscl_half_to_float(v))
         pixels.append(row)
         f2cl.append(frow)
         flinw.append(lrow)
+        f2cl_unw.append(urow)
 
     pw_pixels = [[f2cl[px][ch] * cw[ch] for ch in range(3)]
                  for px in range(16)]
@@ -335,6 +338,16 @@ def pack(pixels_f16bits, flags: int, channel_weights, is_signed: bool,
                      for px in range(16)]
         fix_arr = jnp.asarray(fixups[None, :, :])  # [1,P,S]
 
+        # fixup pixel values (static gather, loop-invariant)
+        fix_pix_2cl = []
+        fix_pix_lin = []
+        sel_fix = jnp.asarray(fixups)  # [P,S] static
+        for ch in range(3):
+            vals_2cl = jnp.stack([f2cl[px][ch] for px in range(16)], axis=0)
+            vals_lin = jnp.stack([flinw[px][ch] for px in range(16)], axis=0)
+            fix_pix_2cl.append(jnp.moveaxis(vals_2cl[sel_fix], -1, 0))
+            fix_pix_lin.append(jnp.moveaxis(vals_lin[sel_fix], -1, 0))
+
         for tweak in range(MAX_TWEAK_ROUNDS):
             refiner = EndpointRefiner(zero_f, 3, index_range, cw)
             for refine_pass in range(MAX_REFINE_ROUNDS):
@@ -366,36 +379,22 @@ def pack(pixels_f16bits, flags: int, channel_weights, is_signed: bool,
                 refiner = EndpointRefiner(zero_f, 3, index_range, cw)
 
                 # Quantize + unquantize (QuantizeEndpoints*, BC67.cpp:2503-2595)
-                q_eps = [[], []]
-                unq = [[], []]
-                fin = [[], []]
-                for epi in range(2):
-                    for ch in range(3):
-                        q = _quantize_element(eps_cs[epi][ch], aprec,
-                                              is_signed)
-                        u, f = _unquantize_element(q, aprec, is_signed)
-                        q_eps[epi].append(q)
-                        unq[epi].append(u)
-                        fin[epi].append(f)
+                # All 6 endpoint elements stacked through one exact divide.
+                stacked = jnp.stack([eps_cs[e][ch] for e in range(2)
+                                     for ch in range(3)], axis=-1)
+                q_st = _quantize_element(stacked, aprec, is_signed)
+                u_st, f_st = _unquantize_element(q_st, aprec, is_signed)
+                q_eps = [[q_st[..., e * 3 + ch] for ch in range(3)]
+                         for e in range(2)]
+                unq = [[u_st[..., e * 3 + ch] for ch in range(3)]
+                       for e in range(2)]
+                fin = [[f_st[..., e * 3 + ch] for ch in range(3)]
+                       for e in range(2)]
 
                 selector = _HDRIndexSelector(cw, unq, fin, index_range,
                                              is_signed, fast_indexing)
 
                 fix_b = jnp.broadcast_to(fix_arr, shape_ps)
-
-                # gather fixup pixel values: fix index is static per (P,S)
-                fix_pix_2cl = []
-                fix_pix_lin = []
-                for ch in range(3):
-                    vals_2cl = jnp.stack([f2cl[px][ch] for px in range(16)],
-                                         axis=0)  # [16, N]
-                    vals_lin = jnp.stack([flinw[px][ch] for px in range(16)],
-                                         axis=0)
-                    sel = jnp.asarray(fixups)  # [P,S] static
-                    g2 = vals_2cl[sel]  # [P,S,N]
-                    gl = vals_lin[sel]
-                    fix_pix_2cl.append(jnp.moveaxis(g2, -1, 0))  # [N,P,S]
-                    fix_pix_lin.append(jnp.moveaxis(gl, -1, 0))
 
                 if fast_indexing:
                     fix_index = selector.select_fast(fix_pix_2cl)
@@ -449,8 +448,7 @@ def pack(pixels_f16bits, flags: int, channel_weights, is_signed: bool,
                         err = None
                         for ch in range(3):
                             fa = lanes.twoscl_half_to_float(recon[ch])
-                            fb = lanes.twoscl_half_to_float(
-                                pixels[px][ch][:, None, None])
+                            fb = f2cl_unw[px][ch][:, None, None]
                             d = fa - fb
                             e = d * d
                             if not uniform:
@@ -471,97 +469,163 @@ def pack(pixels_f16bits, flags: int, channel_weights, is_signed: bool,
                 meta_valid.append(valid)
 
         # --- combine meta0 x meta1 x first-legal-mode (BC67.cpp:2914-2986) ---
+        # Batched over (P, M0, M1) axes; the winner's mode/encoding is
+        # recomputed on [N] after selection (cheap) instead of materializing
+        # encodings for every candidate.
         num_meta1 = max_meta if partitioned else 1
+        valid_rounds = [m for m in range(max_meta)
+                        if meta_eps[m] is not None]
+        if not valid_rounds:
+            rank_base += num_parts * max_meta * max_meta
+            continue
 
-        for meta0 in range(max_meta):
-            if meta_eps[meta0] is None:
-                continue
-            for meta1 in range(num_meta1):
-                if partitioned and meta_eps[meta1] is None:
-                    continue
-                err0 = meta_error[meta0][:, :, 0]
-                val = meta_valid[meta0][:, :, 0]
-                ep_s0 = [[meta_eps[meta0][e][ch][:, :, 0] for ch in range(3)]
-                         for e in range(2)]
-                if partitioned:
-                    err = err0 + meta_error[meta1][:, :, 1]
-                    val = val & meta_valid[meta1][:, :, 1]
-                    ep_s1 = [[meta_eps[meta1][e][ch][:, :, 1]
-                              for ch in range(3)] for e in range(2)]
-                else:
-                    err = err0
-                    ep_s1 = ep_s0  # unused
+        def stack_meta(get):
+            """[N,P,len(valid_rounds)] from per-round [N,P] slices."""
+            return jnp.stack([get(m) for m in valid_rounds], axis=-1)
 
-                # first legal mode per lane
-                chosen_mode = jnp.full((n, num_parts), -1, dtype=jnp.int32)
-                enc = [[[jnp.zeros((n, num_parts), dtype=jnp.int32)
-                         for _ in range(3)] for _ in range(2)]
-                       for _ in range(2)]
-                for mode_idx in mode_list:
-                    _, _, transformed, _, bprec = HDR_MODES[mode_idx]
-                    a_mask = (1 << aprec) - 1
-                    legal = jnp.ones((n, num_parts), dtype=bool)
-                    cand = [[[None] * 3 for _ in range(2)] for _ in range(2)]
-                    for ch in range(3):
-                        cand[0][0][ch] = ep_s0[0][ch]
-                        cand[0][1][ch] = ep_s0[1][ch]
-                        cand[1][0][ch] = ep_s1[0][ch]
-                        cand[1][1][ch] = ep_s1[1][ch]
-                        if transformed:
-                            for subset in range(num_subsets):
-                                for epi in range(2):
-                                    if epi == 0 and subset == 0:
-                                        continue
-                                    v = cand[subset][epi][ch]
-                                    b_red = v & a_mask
-                                    delta = _truncate_signed(
-                                        v - cand[0][0][ch], bprec[ch])
-                                    cand[subset][epi][ch] = delta
-                                    recon = (delta + cand[0][0][ch]) & a_mask
-                                    legal = legal & (recon == b_red)
-                    first = (chosen_mode < 0) & legal
-                    chosen_mode = jnp.where(first, mode_idx, chosen_mode)
-                    for s in range(2):
+        err0_all = stack_meta(lambda m: meta_error[m][:, :, 0])
+        val0_all = stack_meta(lambda m: meta_valid[m][:, :, 0])
+        ep0_all = [[stack_meta(lambda m: meta_eps[m][e][ch][:, :, 0])
+                    for ch in range(3)] for e in range(2)]
+        if partitioned:
+            err1_all = stack_meta(lambda m: meta_error[m][:, :, 1])
+            val1_all = stack_meta(lambda m: meta_valid[m][:, :, 1])
+            ep1_all = [[stack_meta(lambda m: meta_eps[m][e][ch][:, :, 1])
+                        for ch in range(3)] for e in range(2)]
+            totals = err0_all[..., :, None] + err1_all[..., None, :]
+            valid_pair = val0_all[..., :, None] & val1_all[..., None, :]
+        else:
+            totals = err0_all[..., :, None]
+            valid_pair = val0_all[..., :, None]
+
+        m_count = len(valid_rounds)
+        m1_count = m_count if partitioned else 1
+
+        # legality per mode (EvaluatePartitioned/SingleLegality,
+        # BC67.cpp:2597-2663), any-mode-legal gate for candidate validity
+        a_mask = (1 << aprec) - 1
+        any_legal = None
+        for mode_idx in mode_list:
+            _, _, transformed, _, bprec = HDR_MODES[mode_idx]
+            if not transformed:
+                legal = jnp.ones_like(valid_pair)
+            else:
+                legal = None
+                ep00 = [ep0_all[0][ch][..., :, None] for ch in range(3)]
+                for ch in range(3):
+                    # subset 0 ep1 (depends on meta0 only)
+                    v = ep0_all[1][ch][..., :, None]
+                    delta = _truncate_signed(v - ep00[ch], bprec[ch])
+                    ok = ((delta + ep00[ch]) & a_mask) == (v & a_mask)
+                    legal = ok if legal is None else legal & ok
+                    if partitioned:
                         for e in range(2):
-                            for ch in range(3):
-                                enc[s][e][ch] = jnp.where(
-                                    first, cand[s][e][ch], enc[s][e][ch])
+                            v = ep1_all[e][ch][..., None, :]
+                            delta = _truncate_signed(v - ep00[ch], bprec[ch])
+                            ok = ((delta + ep00[ch]) & a_mask) \
+                                == (v & a_mask)
+                            legal = legal & ok
+            any_legal = legal if any_legal is None else any_legal | legal
 
-                cand_valid = val & (chosen_mode >= 0)
-                cand_err = jnp.where(cand_valid, err, INF)
+        cand_err = jnp.where(valid_pair & any_legal, totals, INF)
 
-                # rank: (group, partition, meta0, meta1) visitation order
-                part_ids = jnp.arange(num_parts, dtype=jnp.int32)
-                rank = rank_base + (part_ids * (max_meta * max_meta)
-                                    + meta0 * max_meta + meta1)
-                rank_b = jnp.broadcast_to(rank[None, :], (n, num_parts))
+        # ordered argmin over (P, M0, M1) in visitation-rank order
+        flat = cand_err.reshape(n, -1)
+        win = jnp.argmin(flat, axis=-1)
+        win_err = jnp.take_along_axis(flat, win[:, None], axis=1)[:, 0]
 
-                win_err, win = _ordered_argmin(cand_err)
-                win_rank = _gather_last(rank_b, win)
+        # static decode of the flat winner index
+        meta_ids = np.asarray(valid_rounds, dtype=np.int32)
+        p_of = np.repeat(np.arange(num_parts, dtype=np.int32),
+                         m_count * m1_count)
+        m0_of = np.tile(np.repeat(meta_ids, m1_count), num_parts)
+        m1_of = np.tile(meta_ids[:m1_count] if partitioned
+                        else np.zeros(1, dtype=np.int32),
+                        num_parts * m_count)
+        m0_pos_of = np.tile(np.repeat(np.arange(m_count, dtype=np.int32),
+                                      m1_count), num_parts)
+        m1_pos_of = np.tile(np.arange(m1_count, dtype=np.int32),
+                            num_parts * m_count)
 
-                idx0 = meta_indexes[meta0]
-                idx1 = meta_indexes[meta1] if partitioned else idx0
-                idx_px = []
-                for px in range(16):
-                    own1 = jnp.asarray(sub_mask[:, 1, px][None, :]) \
-                        if partitioned else jnp.zeros((1, num_parts),
-                                                      dtype=bool)
-                    v = jnp.where(own1, idx1[px][:, :, 1 if partitioned else 0],
-                                  idx0[px][:, :, 0])
-                    idx_px.append(_gather_last(v, win))
+        win_part = jnp.take(jnp.asarray(p_of), win)
+        win_m0 = jnp.take(jnp.asarray(m0_of), win)
+        win_m1 = jnp.take(jnp.asarray(m1_of), win)
+        win_rank = rank_base + (win_part * (max_meta * max_meta)
+                                + win_m0 * max_meta + win_m1)
+        win_m0_pos = jnp.take(jnp.asarray(m0_pos_of), win)
+        win_m1_pos = jnp.take(jnp.asarray(m1_pos_of), win)
 
-                payload = {
-                    "mode": _gather_last(chosen_mode, win),
-                    "partition": _gather_last(
-                        jnp.broadcast_to(part_ids[None, :], (n, num_parts)),
-                        win),
-                    "ep": jnp.stack([jnp.stack([jnp.stack(
-                        [_gather_last(enc[s][e][ch], win) for ch in range(3)],
-                        axis=-1) for e in range(2)], axis=-2)
-                        for s in range(2)], axis=-3),
-                    "idx": jnp.stack(idx_px, axis=-1),
-                }
-                best.update(win_err, win_rank, payload)
+        def gather_pm(arr, m_pos):
+            """arr [N,P,M] -> [N] at (win_part, m_pos)."""
+            flat_arr = arr.reshape(n, -1)
+            idx = win_part * arr.shape[-1] + m_pos
+            return jnp.take_along_axis(flat_arr, idx[:, None], axis=1)[:, 0]
+
+        # winner endpoints and first-legal mode recomputed on [N]
+        w_ep = [[[gather_pm(ep0_all[e][ch], win_m0_pos) for ch in range(3)]
+                 for e in range(2)],
+                [[gather_pm(ep1_all[e][ch], win_m1_pos) if partitioned
+                  else gather_pm(ep0_all[e][ch], win_m0_pos)
+                  for ch in range(3)] for e in range(2)]]
+
+        chosen_mode = jnp.full((n,), -1, dtype=jnp.int32)
+        enc = [[[jnp.zeros((n,), dtype=jnp.int32) for _ in range(3)]
+                for _ in range(2)] for _ in range(2)]
+        for mode_idx in mode_list:
+            _, _, transformed, _, bprec = HDR_MODES[mode_idx]
+            legal = jnp.ones((n,), dtype=bool)
+            cand = [[[w_ep[s][e][ch] for ch in range(3)] for e in range(2)]
+                    for s in range(2)]
+            if transformed:
+                for ch in range(3):
+                    for subset in range(num_subsets):
+                        for epi in range(2):
+                            if epi == 0 and subset == 0:
+                                continue
+                            v = cand[subset][epi][ch]
+                            b_red = v & a_mask
+                            delta = _truncate_signed(v - cand[0][0][ch],
+                                                     bprec[ch])
+                            cand[subset][epi][ch] = delta
+                            recon = (delta + cand[0][0][ch]) & a_mask
+                            legal = legal & (recon == b_red)
+            first = (chosen_mode < 0) & legal
+            chosen_mode = jnp.where(first, mode_idx, chosen_mode)
+            for s in range(2):
+                for e in range(2):
+                    for ch in range(3):
+                        enc[s][e][ch] = jnp.where(first, cand[s][e][ch],
+                                                  enc[s][e][ch])
+
+        # winner indexes: per pixel from the owning subset's meta round
+        idx0_all = [stack_meta(lambda m, px=px: meta_indexes[m][px][:, :, 0])
+                    for px in range(16)]
+        if partitioned:
+            idx1_all = [stack_meta(
+                lambda m, px=px: meta_indexes[m][px][:, :, 1])
+                for px in range(16)]
+        idx_px = []
+        for px in range(16):
+            v0 = gather_pm(idx0_all[px], win_m0_pos)
+            if partitioned:
+                v1 = gather_pm(idx1_all[px], win_m1_pos)
+                own1 = jnp.take(jnp.asarray(
+                    sub_mask[:, 1, px].astype(np.int32)), win_part) != 0
+                idx_px.append(jnp.where(own1, v1, v0))
+            else:
+                idx_px.append(v0)
+
+        payload = {
+            "mode": chosen_mode,
+            "partition": win_part,
+            "ep": jnp.stack([jnp.stack([jnp.stack(
+                [enc[s][e][ch] for ch in range(3)],
+                axis=-1) for e in range(2)], axis=-2)
+                for s in range(2)], axis=-3),
+            "idx": jnp.stack(idx_px, axis=-1),
+        }
+        best.update(win_err, win_rank, payload,
+                    extra_valid=jnp.isfinite(win_err))
 
         rank_base += num_parts * max_meta * max_meta
 

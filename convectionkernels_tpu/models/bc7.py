@@ -713,21 +713,13 @@ def _combine_partitions(mode, mode_pos, best, shape_ids, plan, n, has_alpha,
 
 # --- Dual-plane search (modes 4/5) -------------------------------------------
 
-def _tweak_alpha(a0, a1, tweak: int, range_: int):
-    """TweakAlpha (BC67.cpp:815-826)."""
-    f0, f1 = lanes.compute_tweak_factors(tweak, range_)
-    base = lanes.to_float(a0)
-    offs = lanes.to_float(a1) - base
-    r0 = lanes.round_and_convert_to_int_nearest(
-        lanes.clamp(base + offs * f0, 0.0, 255.0))
-    r1 = lanes.round_and_convert_to_int_nearest(
-        lanes.clamp(base + offs * f1, 0.0, 255.0))
-    return r0, r1
-
-
 def try_dual_plane(pixels, float_pixels, channel_weights, flags,
                    plan: BC7EncodingPlan, num_refine_rounds: int):
-    """TryDualPlane (BC67.cpp:1664-1965). Returns candidate dicts."""
+    """TryDualPlane (BC67.cpp:1664-1965). Returns candidate dicts.
+
+    Batched over the tweak axis; the per-rotation PCA is hoisted and shared
+    across modes and index-selector values (the reference recomputes it with
+    identical inputs per combination)."""
     num_refine_rounds = max(num_refine_rounds, 1)
     cw = [np.float32(w) for w in channel_weights]
     cw_sq = [w * w for w in cw]
@@ -735,11 +727,44 @@ def try_dual_plane(pixels, float_pixels, channel_weights, flags,
     uniform = bool(flags & Flags.UNIFORM)
 
     n = pixels[0][0].shape[0]
+    t_count = MAX_TWEAK_ROUNDS
     candidates = []
     seq = 0
 
+    # hoisted per-rotation data
+    rot_cache = {}
+    for rotation in range(4):
+        alpha_ch = (rotation + 3) & 3
+        rgb_chs = (3 if rotation == 1 else 0, 3 if rotation == 2 else 1,
+                   3 if rotation == 3 else 2)
+        rot_rgb = [[pixels[px][c] for c in rgb_chs] for px in range(16)]
+        rot_frgb = [[float_pixels[px][c] for c in rgb_chs]
+                    for px in range(16)]
+        rot_cw = [cw[c] for c in rgb_chs]
+        rot_cw_sq = [cw_sq[c] for c in rgb_chs]
+        pw_rot = [[rot_frgb[px][ch] * rot_cw[ch] for ch in range(3)]
+                  for px in range(16)]
+
+        ones = [jnp.ones((n,), dtype=jnp.float32)] * 16
+        cen, dirn, mn_d, mx_d = pca.endpoint_selector(pw_rot, ones, 3)
+        base, offset = pca.get_endpoints(cen, dirn, mn_d, mx_d, rot_cw, 3)
+
+        alpha_min = pixels[0][alpha_ch]
+        alpha_max = pixels[0][alpha_ch]
+        for px in range(1, 16):
+            alpha_min = jnp.minimum(pixels[px][alpha_ch], alpha_min)
+            alpha_max = jnp.maximum(pixels[px][alpha_ch], alpha_max)
+
+        rot_cache[rotation] = dict(
+            alpha_ch=alpha_ch, rot_rgb=rot_rgb, rot_frgb=rot_frgb,
+            rot_cw=rot_cw, rot_cw_sq=rot_cw_sq, pw_rot=pw_rot,
+            base=base, offset=offset, alpha_min=alpha_min,
+            alpha_max=alpha_max)
+
     for mode in (4, 5):
         for rotation in range(4):
+            rc = rot_cache[rotation]
+            alpha_ch = rc["alpha_ch"]
             if mode == 4:
                 num_sp = list(plan.mode4_sp[rotation])
             else:
@@ -748,21 +773,6 @@ def try_dual_plane(pixels, float_pixels, channel_weights, flags,
             if num_sp[0] == 0 and num_sp[1] == 0:
                 seq += (2 if mode == 4 else 1)
                 continue
-
-            alpha_ch = (rotation + 3) & 3
-            red_ch = 3 if rotation == 1 else 0
-            green_ch = 3 if rotation == 2 else 1
-            blue_ch = 3 if rotation == 3 else 2
-            rgb_chs = (red_ch, green_ch, blue_ch)
-
-            rot_rgb = [[pixels[px][c] for c in rgb_chs] for px in range(16)]
-            rot_frgb = [[float_pixels[px][c] for c in rgb_chs]
-                        for px in range(16)]
-            rot_cw = [cw[c] for c in rgb_chs]
-            rot_cw_sq = [cw_sq[c] for c in rgb_chs]
-            alpha_w_sq = cw_sq[alpha_ch]
-            pw_rot = [[rot_frgb[px][ch] * rot_cw[ch] for ch in range(3)]
-                      for px in range(16)]
 
             max_isel = 2 if mode == 4 else 1
             for index_selector in range(max_isel):
@@ -773,17 +783,6 @@ def try_dual_plane(pixels, float_pixels, channel_weights, flags,
                     continue
                 num_tweak = min(num_tweak, MAX_TWEAK_ROUNDS)
 
-                ones = [jnp.ones((n,), dtype=jnp.float32)] * 16
-                cen, dirn, mn_d, mx_d = pca.endpoint_selector(pw_rot, ones, 3)
-                base, offset = pca.get_endpoints(cen, dirn, mn_d, mx_d,
-                                                 rot_cw, 3)
-
-                alpha_min = pixels[0][alpha_ch]
-                alpha_max = pixels[0][alpha_ch]
-                for px in range(1, 16):
-                    alpha_min = jnp.minimum(pixels[px][alpha_ch], alpha_min)
-                    alpha_max = jnp.maximum(pixels[px][alpha_ch], alpha_max)
-
                 if mode == 4:
                     rgb_prec = 3 if index_selector else 2
                     alpha_prec = 2 if index_selector else 3
@@ -792,140 +791,191 @@ def try_dual_plane(pixels, float_pixels, channel_weights, flags,
                 rgb_range = 1 << rgb_prec
                 alpha_range = 1 << alpha_prec
 
+                # tweak-axis initial endpoints [N, T]
+                rf0 = np.zeros(t_count, dtype=np.float32)
+                rf1 = np.zeros(t_count, dtype=np.float32)
+                af0 = np.zeros(t_count, dtype=np.float32)
+                af1 = np.zeros(t_count, dtype=np.float32)
+                for t in range(t_count):
+                    rf0[t], rf1[t] = lanes.compute_tweak_factors(t, rgb_range)
+                    af0[t], af1[t] = lanes.compute_tweak_factors(t,
+                                                                 alpha_range)
+                rgb_ep = [[], []]
+                for ch in range(3):
+                    b = rc["base"][ch][:, None]
+                    o = rc["offset"][ch][:, None]
+                    rgb_ep[0].append(lanes.round_and_convert_to_int_nearest(
+                        lanes.clamp(b + o * jnp.asarray(rf0), 0.0, 255.0)))
+                    rgb_ep[1].append(lanes.round_and_convert_to_int_nearest(
+                        lanes.clamp(b + o * jnp.asarray(rf1), 0.0, 255.0)))
+                a_base = lanes.to_float(rc["alpha_min"])[:, None]
+                a_offs = lanes.to_float(rc["alpha_max"])[:, None] - a_base
+                alpha_ep = [
+                    lanes.round_and_convert_to_int_nearest(
+                        lanes.clamp(a_base + a_offs * jnp.asarray(af0),
+                                    0.0, 255.0)),
+                    lanes.round_and_convert_to_int_nearest(
+                        lanes.clamp(a_base + a_offs * jnp.asarray(af1),
+                                    0.0, 255.0)),
+                ]
+
+                tweak_valid = jnp.asarray(
+                    np.arange(t_count) < num_tweak)[None, :]
+
                 rgb_best = LexBest.empty((n,), {"ep": (2, 3), "idx": (16,)})
                 alpha_best = LexBest.empty((n,), {"ep": (2,), "idx": (16,)})
 
-                for tweak in range(num_tweak):
-                    e0, e1 = pca.finish_ldr(base, offset, tweak, rgb_range, 3)
-                    rgb_ep = [list(e0), list(e1)]
-                    a0, a1 = _tweak_alpha(alpha_min, alpha_max, tweak,
-                                          alpha_range)
-                    alpha_ep = [a0, a1]
+                fp_alpha = [float_pixels[px][alpha_ch][:, None]
+                            for px in range(16)]
+                frgb_b = [[rc["rot_frgb"][px][ch][:, None] for ch in range(3)]
+                          for px in range(16)]
+                irgb_b = [[rc["rot_rgb"][px][ch][:, None] for ch in range(3)]
+                          for px in range(16)]
+                ia_b = [pixels[px][alpha_ch][:, None] for px in range(16)]
+                pw_b = [[rc["pw_rot"][px][ch][:, None] for ch in range(3)]
+                        for px in range(16)]
 
-                    for refine in range(num_refine_rounds):
-                        # CompressEndpoints4/5 (BC67.cpp:908-923)
-                        if mode == 4:
-                            rgb_ep = [_unquantize(_quantize(e, 5, 3), 5, 3)
-                                      for e in rgb_ep]
-                            alpha_ep = [
-                                _unquantize(_quantize([a], 6, 1), 6, 1)[0]
-                                for a in alpha_ep]
-                        else:
-                            rgb_ep = [_unquantize(_quantize(e, 7, 3), 7, 3)
-                                      for e in rgb_ep]
+                for refine in range(num_refine_rounds):
+                    # CompressEndpoints4/5 (BC67.cpp:908-923)
+                    if mode == 4:
+                        rgb_ep = [_unquantize(_quantize(e, 5, 3), 5, 3)
+                                  for e in rgb_ep]
+                        alpha_ep = [
+                            _unquantize(_quantize([a], 6, 1), 6, 1)[0]
+                            for a in alpha_ep]
+                    else:
+                        rgb_ep = [_unquantize(_quantize(e, 7, 3), 7, 3)
+                                  for e in rgb_ep]
 
-                        rgb_sel = IndexSelector(rot_cw, rgb_ep, rgb_range, 3)
-                        a_sel = IndexSelector([1.0], [[alpha_ep[0]],
-                                                      [alpha_ep[1]]],
-                                              alpha_range, 1)
-                        rgb_refiner = EndpointRefiner(
-                            jnp.zeros((n,), jnp.float32), 3, rgb_range,
-                            rot_cw)
-                        a_refiner = EndpointRefiner(
-                            jnp.zeros((n,), jnp.float32), 1, alpha_range,
-                            [1.0])
+                    rgb_sel = IndexSelector(rc["rot_cw"], rgb_ep, rgb_range,
+                                            3)
+                    a_sel = IndexSelector([1.0], [[alpha_ep[0]],
+                                                  [alpha_ep[1]]],
+                                          alpha_range, 1)
+                    zero_nt = jnp.zeros((n, t_count), dtype=jnp.float32)
+                    rgb_refiner = EndpointRefiner(zero_nt, 3, rgb_range,
+                                                  rc["rot_cw"])
+                    a_refiner = EndpointRefiner(zero_nt, 1, alpha_range,
+                                                [1.0])
 
-                        error_rgb = jnp.zeros((n,), dtype=jnp.float32)
-                        error_a = jnp.zeros((n,), dtype=jnp.float32)
-                        agg_rgb = [jnp.zeros((n,), dtype=jnp.int32)
-                                   for _ in range(3)]
-                        agg_a = jnp.zeros((n,), dtype=jnp.int32)
+                    error_rgb = zero_nt
+                    error_a = zero_nt
+                    agg_rgb = [jnp.zeros((n, t_count), dtype=jnp.int32)
+                               for _ in range(3)]
+                    agg_a = jnp.zeros((n, t_count), dtype=jnp.int32)
 
-                        rgb_idx, a_idx = [], []
-                        for px in range(16):
-                            ri = rgb_sel.select_index_ldr(rot_frgb[px])
-                            ai = a_sel.select_index_ldr(
-                                [float_pixels[px][alpha_ch]])
-
-                            if fast_indexing:
-                                rr = rgb_sel.reconstruct_ldr_bc7(ri)
-                                ra = a_sel.reconstruct_ldr_bc7(ai)[0]
-                                for ch in range(3):
-                                    agg_rgb[ch] = agg_rgb[ch] + \
-                                        lanes.sq_diff_int(rr[ch],
-                                                          rot_rgb[px][ch])
-                                agg_a = agg_a + lanes.sq_diff_int(
-                                    ra, pixels[px][alpha_ch])
-                            else:
-                                def rgb_err(iv):
-                                    rr = rgb_sel.reconstruct_ldr_bc7(iv)
-                                    errs = [lanes.sq_diff_int(
-                                        rr[c], rot_rgb[px][c])
-                                        for c in range(3)]
-                                    if uniform:
-                                        t = errs[0] + errs[1]
-                                        t = t + errs[2]
-                                        return lanes.to_float(t)
-                                    t = lanes.to_float(errs[0]) * rot_cw_sq[0]
-                                    for c in range(1, 3):
-                                        t = t + lanes.to_float(
-                                            errs[c]) * rot_cw_sq[c]
-                                    return t
-
-                                def a_err(iv):
-                                    ra = a_sel.reconstruct_ldr_bc7(iv)[0]
-                                    e = lanes.sq_diff_int(
-                                        ra, pixels[px][alpha_ch])
-                                    if uniform:
-                                        return lanes.to_float(e)
-                                    return lanes.to_float(e) * alpha_w_sq
-
-                                re = rgb_err(ri)
-                                ae = a_err(ai)
-                                r_alt = (jnp.maximum(ri, 1) - 1,
-                                         jnp.minimum(ri + 1, rgb_range - 1))
-                                a_alt = (jnp.maximum(ai, 1) - 1,
-                                         jnp.minimum(ai + 1, alpha_range - 1))
-                                for ii in range(2):
-                                    are = rgb_err(r_alt[ii])
-                                    aae = a_err(a_alt[ii])
-                                    rb = are < re
-                                    ab = aae < ae
-                                    re = jnp.minimum(are, re)
-                                    ae = jnp.minimum(aae, ae)
-                                    ri = jnp.where(rb, r_alt[ii], ri)
-                                    ai = jnp.where(ab, a_alt[ii], ai)
-                                error_rgb = error_rgb + re
-                                error_a = error_a + ae
-
-                            if refine != num_refine_rounds - 1:
-                                rgb_refiner.contribute_unweighted_pw(
-                                    pw_rot[px], ri)
-                                a_refiner.contribute_unweighted_pw(
-                                    [float_pixels[px][alpha_ch]], ai)
-                            rgb_idx.append(ri)
-                            a_idx.append(ai)
+                    rgb_idx, a_idx = [], []
+                    for px in range(16):
+                        ri = rgb_sel.select_index_ldr(frgb_b[px])
+                        ai = a_sel.select_index_ldr([fp_alpha[px]])
 
                         if fast_indexing:
-                            if uniform:
-                                t = agg_rgb[0] + agg_rgb[1]
-                                t = t + agg_rgb[2]
-                                error_rgb = lanes.to_float(t)
-                                error_a = lanes.to_float(agg_a)
-                            else:
-                                error_rgb = lanes.to_float(
-                                    agg_rgb[0]) * rot_cw_sq[0]
+                            rr = rgb_sel.reconstruct_ldr_bc7(ri)
+                            ra = a_sel.reconstruct_ldr_bc7(ai)[0]
+                            for ch in range(3):
+                                agg_rgb[ch] = agg_rgb[ch] + \
+                                    lanes.sq_diff_int(rr[ch], irgb_b[px][ch])
+                            agg_a = agg_a + lanes.sq_diff_int(ra, ia_b[px])
+                        else:
+                            def rgb_err(iv, px=px):
+                                rr = rgb_sel.reconstruct_ldr_bc7(iv)
+                                errs = [lanes.sq_diff_int(rr[c],
+                                                          irgb_b[px][c])
+                                        for c in range(3)]
+                                if uniform:
+                                    t = errs[0] + errs[1]
+                                    t = t + errs[2]
+                                    return lanes.to_float(t)
+                                t = lanes.to_float(errs[0]) \
+                                    * rc["rot_cw_sq"][0]
                                 for c in range(1, 3):
-                                    error_rgb = error_rgb + lanes.to_float(
-                                        agg_rgb[c]) * rot_cw_sq[c]
-                                error_a = lanes.to_float(agg_a) * alpha_w_sq
+                                    t = t + lanes.to_float(errs[c]) \
+                                        * rc["rot_cw_sq"][c]
+                                return t
 
-                        rank = jnp.full((n,), tweak * num_refine_rounds
-                                        + refine, dtype=jnp.int32)
-                        rgb_best.update(error_rgb, rank, {
-                            "ep": jnp.stack(
-                                [jnp.stack(rgb_ep[e], axis=-1)
-                                 for e in range(2)], axis=-2),
-                            "idx": jnp.stack(rgb_idx, axis=-1)})
-                        alpha_best.update(error_a, rank, {
-                            "ep": jnp.stack(alpha_ep, axis=-1),
-                            "idx": jnp.stack(a_idx, axis=-1)})
+                            def a_err(iv, px=px):
+                                ra = a_sel.reconstruct_ldr_bc7(iv)[0]
+                                e = lanes.sq_diff_int(ra, ia_b[px])
+                                if uniform:
+                                    return lanes.to_float(e)
+                                return lanes.to_float(e) * cw_sq[alpha_ch]
+
+                            re = rgb_err(ri)
+                            ae = a_err(ai)
+                            r_alt = (jnp.maximum(ri, 1) - 1,
+                                     jnp.minimum(ri + 1, rgb_range - 1))
+                            a_alt = (jnp.maximum(ai, 1) - 1,
+                                     jnp.minimum(ai + 1, alpha_range - 1))
+                            for ii in range(2):
+                                are = rgb_err(r_alt[ii])
+                                aae = a_err(a_alt[ii])
+                                rb = are < re
+                                ab = aae < ae
+                                re = jnp.minimum(are, re)
+                                ae = jnp.minimum(aae, ae)
+                                ri = jnp.where(rb, r_alt[ii], ri)
+                                ai = jnp.where(ab, a_alt[ii], ai)
+                            error_rgb = error_rgb + re
+                            error_a = error_a + ae
 
                         if refine != num_refine_rounds - 1:
-                            r0, r1 = rgb_refiner.get_refined_endpoints_ldr()
-                            rgb_ep = [list(r0), list(r1)]
-                            aa0, aa1 = a_refiner.get_refined_endpoints_ldr()
-                            alpha_ep = [aa0[0], aa1[0]]
+                            rgb_refiner.contribute_unweighted_pw(pw_b[px], ri)
+                            a_refiner.contribute_unweighted_pw([fp_alpha[px]],
+                                                               ai)
+                        rgb_idx.append(ri)
+                        a_idx.append(ai)
+
+                    if fast_indexing:
+                        if uniform:
+                            t = agg_rgb[0] + agg_rgb[1]
+                            t = t + agg_rgb[2]
+                            error_rgb = lanes.to_float(t)
+                            error_a = lanes.to_float(agg_a)
+                        else:
+                            error_rgb = lanes.to_float(agg_rgb[0]) \
+                                * rc["rot_cw_sq"][0]
+                            for c in range(1, 3):
+                                error_rgb = error_rgb + lanes.to_float(
+                                    agg_rgb[c]) * rc["rot_cw_sq"][c]
+                            error_a = lanes.to_float(agg_a) * cw_sq[alpha_ch]
+
+                    # reduce over the tweak axis (rank = t*R + refine)
+                    rank_row = jnp.asarray(
+                        (np.arange(t_count) * num_refine_rounds
+                         + refine).astype(np.int32))[None, :]
+                    for best_obj, err, eps_list, idxs in (
+                        (rgb_best, error_rgb, rgb_ep, rgb_idx),
+                        (alpha_best, error_a, alpha_ep, a_idx),
+                    ):
+                        cand_err = jnp.where(tweak_valid, err, INF)
+                        win_err, win = _ordered_argmin(cand_err)
+                        win_rank = _gather_last(
+                            jnp.broadcast_to(rank_row, cand_err.shape), win)
+                        if best_obj is rgb_best:
+                            payload = {
+                                "ep": jnp.stack(
+                                    [jnp.stack([_gather_last(eps_list[e][c],
+                                                             win)
+                                                for c in range(3)], axis=-1)
+                                     for e in range(2)], axis=-2),
+                                "idx": jnp.stack(
+                                    [_gather_last(idxs[px], win)
+                                     for px in range(16)], axis=-1)}
+                        else:
+                            payload = {
+                                "ep": jnp.stack(
+                                    [_gather_last(eps_list[e], win)
+                                     for e in range(2)], axis=-1),
+                                "idx": jnp.stack(
+                                    [_gather_last(idxs[px], win)
+                                     for px in range(16)], axis=-1)}
+                        best_obj.update(win_err, win_rank, payload)
+
+                    if refine != num_refine_rounds - 1:
+                        r0, r1 = rgb_refiner.get_refined_endpoints_ldr()
+                        rgb_ep = [list(r0), list(r1)]
+                        aa0, aa1 = a_refiner.get_refined_endpoints_ldr()
+                        alpha_ep = [aa0[0], aa1[0]]
 
                 combined = rgb_best.error + alpha_best.error
 

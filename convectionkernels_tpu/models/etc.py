@@ -1707,7 +1707,7 @@ def _emit_tmode(line_color, isolated_color, selectors, table, opaque, n):
     rh = (isolated_color[0] >> 2) & 3
     rl = isolated_color[0] & 3
     overflow_low = (rh + rl) < 4
-    hi = jnp.where(overflow_low, hi | (1 << (58 - 32)), hi | (7 << (61 - 32)))
+    hi = jnp.where(overflow_low, hi | (1 << (58 - 32)), hi | np.int32(-536870912))
     hi = hi | (rh << (59 - 32)) | (rl << (56 - 32))
     hi = hi | (isolated_color[1] << (52 - 32)) | (isolated_color[2] << (48 - 32))
     hi = hi | (line_color[0] << (44 - 32)) | (line_color[1] << (40 - 32)) \

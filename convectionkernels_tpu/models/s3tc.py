@@ -286,25 +286,78 @@ def _pack_rgb_exhaustive(flags, pixels, float_pixels, pw_pixels, base, offset,
     pw_float_sorted = [[float_sorted[e][ch] * cw[ch] for ch in range(4)]
                        for e in range(16)]
 
-    def test_counts(counts, n_counts):
-        """TestCounts (S3TC.cpp:260-301): masked refit of one count-partition."""
-        refiner = EndpointRefiner(zero_f, 3, n_counts, cw)
-        # Per-lane escape semantics: lane stops contributing entirely once a
-        # count group overruns numElements (prefix condition), and element n
-        # of group i contributes only while n < numElements.
-        e = 0
-        prefix_ok = jnp.ones_like(zero_i, dtype=bool)
-        for i in range(n_counts):
-            for n_in in range(counts[i]):
-                mask = prefix_ok & (n_in < num_elements)
-                refiner.contribute_unweighted_pw(
-                    pw_float_sorted[e], jnp.full_like(zero_i, i), 3, mask)
-                e += 1
-            prefix_ok = prefix_ok & (counts[i] <= num_elements)
-        eps = refiner.get_refined_endpoints_ldr()
-        _test_endpoints(flags, pixels, float_pixels, pw_pixels,
-                        [eps[0], eps[1]], n_counts, cw, cw_sq, best, None)
+    def test_counts_batched(counts_list, n_counts):
+        """TestCounts over all count-partitions at once (S3TC.cpp:260-301).
 
+        counts_list: static [P, n_counts] in the reference's visitation
+        order. Per-lane escape semantics: a lane stops contributing once a
+        count group overruns numElements; element n of group i contributes
+        only while n < numElements.
+        """
+        counts_arr = np.asarray(counts_list, dtype=np.int32)  # [P, nc]
+        p_count = counts_arr.shape[0]
+
+        # element slot -> (group index, within-group position), static
+        grp = np.zeros((p_count, 16), dtype=np.int32)
+        pos = np.zeros((p_count, 16), dtype=np.int32)
+        for p_i in range(p_count):
+            e = 0
+            for i in range(n_counts):
+                for n_in in range(counts_arr[p_i, i]):
+                    grp[p_i, e] = i
+                    pos[p_i, e] = n_in
+                    e += 1
+
+        # prefix_ok[:, :, i] = all groups before i fit within numElements
+        ne = num_elements[:, None]  # [N, 1]
+        prefix_ok_by_group = [jnp.ones((n, p_count), dtype=bool)]
+        for i in range(n_counts - 1):
+            fits = jnp.asarray(counts_arr[:, i])[None, :] <= ne
+            prefix_ok_by_group.append(prefix_ok_by_group[-1] & fits)
+
+        rcp_max = np.float32(1.0) / np.float32(n_counts - 1)
+        tv = [jnp.zeros((n, p_count), dtype=jnp.float32) for _ in range(3)]
+        vv = [jnp.zeros((n, p_count), dtype=jnp.float32) for _ in range(3)]
+        tt = jnp.zeros((n, p_count), dtype=jnp.float32)
+        tsum = jnp.zeros((n, p_count), dtype=jnp.float32)
+        wu = jnp.zeros((n, p_count), dtype=jnp.int32)
+        grp_j = jnp.asarray(grp)
+        pos_j = jnp.asarray(pos)
+        for e in range(16):
+            i_e = grp_j[:, e][None, :]        # [1, P] static
+            n_e = pos_j[:, e][None, :]
+            pref = prefix_ok_by_group[0]
+            for i in range(1, n_counts):
+                pref = jnp.where(i_e == i, prefix_ok_by_group[i], pref)
+            mask = pref & (n_e < ne)
+            t = lanes.to_float(i_e) * rcp_max
+            for ch in range(3):
+                v = pw_float_sorted[e][ch][:, None]
+                tv[ch] = tv[ch] + jnp.where(mask, t * v, np.float32(0.0))
+                vv[ch] = vv[ch] + jnp.where(mask, v, np.float32(0.0))
+            tt = tt + jnp.where(mask, t * t, np.float32(0.0))
+            tsum = tsum + jnp.where(mask, t, np.float32(0.0))
+            wu = wu + mask.astype(jnp.int32)
+
+        refiner = EndpointRefiner(jnp.zeros((n, p_count), jnp.float32), 3,
+                                  n_counts, cw)
+        refiner.tv, refiner.v, refiner.tt, refiner.t, refiner.wu = \
+            tv, vv, tt, tsum, wu
+        e0, e1 = refiner.get_refined_endpoints_ldr()
+
+        err, eps_w, idx_w = _test_endpoints_batch(
+            flags, pixels, float_pixels, [e0, e1], n_counts, cw, cw_sq)
+        win = jnp.argmin(err, axis=-1)  # first occurrence = visitation order
+
+        def g(x):
+            return jnp.take_along_axis(x, win[:, None], axis=1)[:, 0]
+
+        better = g(err) < best.error
+        best.update(better, g(err),
+                    [[g(eps_w[e][ch]) for ch in range(3)] for e in range(2)],
+                    [g(idx_w[px]) for px in range(16)], n_counts)
+
+    counts4 = []
     for n0 in range(16):
         remaining_for1 = 16 - n0
         if remaining_for1 == 16:
@@ -317,11 +370,13 @@ def _pack_rgb_exhaustive(flags, pixels, float_pixels, pw_pixels, base, offset,
                 n3 = 16 - n2 - n1 - n0
                 if n3 == 16:
                     continue
-                test_counts([n0, n1, n2, n3], 4)
+                counts4.append([n0, n1, n2, n3])
+    test_counts_batched(counts4, 4)
 
     _test_single_color(flags, pixels, 4, cw_sq, best, sc_tables)
 
     if alpha_test:
+        counts3 = []
         for n0 in range(16):
             remaining_for1 = 16 - n0
             if remaining_for1 == 16:
@@ -330,9 +385,51 @@ def _pack_rgb_exhaustive(flags, pixels, float_pixels, pw_pixels, base, offset,
                 n2 = 16 - n1 - n0
                 if n2 == 16:
                     continue
-                test_counts([n0, n1, n2], 3)
+                counts3.append([n0, n1, n2])
+        test_counts_batched(counts3, 3)
 
         _test_single_color(flags, pixels, 3, cw_sq, best, sc_tables)
+
+
+def _test_endpoints_batch(flags, pixels, float_pixels, unquantized_eps,
+                          range_: int, cw, cw_sq):
+    """TestEndpoints (S3TC.cpp:190-258) over a trailing candidate axis.
+
+    unquantized_eps: [2] lists of 3 arrays [N, P]. Returns
+    (error [N,P], endpoints [2][3] of [N,P], indexes 16 of [N,P])."""
+    endpoints = [quantize_to_565(unquantized_eps[0]),
+                 quantize_to_565(unquantized_eps[1])]
+    selector = IndexSelector(cw, endpoints, range_, 3)
+
+    paranoid = bool(flags & Flags.S3TC_PARANOID)
+    uniform = bool(flags & Flags.UNIFORM)
+
+    if paranoid:
+        factors = [paranoid_factor_for_span(endpoints[0][ch]
+                                            - endpoints[1][ch])
+                   for ch in range(3)]
+
+    error = jnp.zeros_like(endpoints[0][0], dtype=jnp.float32)
+    agg = [jnp.zeros_like(endpoints[0][0]) for _ in range(3)]
+    indexes = []
+    for px in range(16):
+        fpx = [float_pixels[px][ch][:, None] for ch in range(3)]
+        index = selector.select_index_ldr(fpx)
+        indexes.append(index)
+        recon = selector.reconstruct_ldr_precise(index)
+        if paranoid:
+            for ch in range(3):
+                error = error + paranoid_diff(
+                    recon[ch], pixels[px][ch][:, None],
+                    factors[ch]) * cw_sq[ch]
+        else:
+            for ch in range(3):
+                agg[ch] = agg[ch] + lanes.sq_diff_int(
+                    recon[ch], pixels[px][ch][:, None])
+
+    if not paranoid:
+        error = aggregated_error_finalize(agg, uniform, cw_sq)
+    return error, endpoints, indexes
 
 
 def pack_explicit_alpha(pixels_u8, channel: int):

@@ -81,7 +81,9 @@ def endpoint_selector(pw_pixels, pixel_weights, nch: int, iterations: int = 8,
             centroid[ch] = centroid[ch] + pw_pixels[px][ch] * w
         weight_total = weight_total + w
     denom = lanes.make_safe_denominator(weight_total)
-    centroid = [exact_divide(c, denom) for c in centroid]
+    centroid_all = exact_divide(jnp.stack(centroid, axis=-1),
+                                denom[..., None])
+    centroid = [centroid_all[..., ch] for ch in range(nch)]
 
     # Pass 1: covariance (EndpointSelector.h:89-96)
     cov = [zero] * ((nch * (nch + 1)) // 2)
@@ -97,7 +99,9 @@ def endpoint_selector(pw_pixels, pixel_weights, nch: int, iterations: int = 8,
         for ch in range(1, nch):
             largest = jnp.maximum(largest, product[ch])
         largest = lanes.make_safe_denominator(largest)
-        approx = [exact_divide(p, largest) for p in product]
+        approx_all = exact_divide(jnp.stack(product, axis=-1),
+                                  largest[..., None])
+        approx = [approx_all[..., ch] for ch in range(nch)]
 
     approx_len = None
     for ch in range(nch):
@@ -105,7 +109,9 @@ def endpoint_selector(pw_pixels, pixel_weights, nch: int, iterations: int = 8,
         approx_len = term if approx_len is None else approx_len + term
     approx_len = exact_sqrt(approx_len)
     approx_len = lanes.make_safe_denominator(approx_len)
-    direction = [exact_divide(a, approx_len) for a in approx]
+    dir_all = exact_divide(jnp.stack(approx, axis=-1),
+                           approx_len[..., None])
+    direction = [dir_all[..., ch] for ch in range(nch)]
 
     # Pass 2: min/max projection (EndpointSelector.h:132-141)
     min_dist = jnp.full_like(zero, lanes.FLT_MAX)
@@ -135,15 +141,16 @@ def get_endpoints(centroid, direction, min_dist, max_dist, channel_weights,
     Mirrors the reference exactly, including dividing by the *raw* channel
     weight (the computed safeWeight is unused in the reference).
     """
-    base = []
-    offset = []
+    mns, mxs = [], []
     for ch in range(nch):
-        mn = centroid[ch] + direction[ch] * min_dist
-        mx = centroid[ch] + direction[ch] * max_dist
-        cw = np.float32(channel_weights[ch])
-        base.append(exact_divide(mn, cw))
-        offset.append(exact_divide(mx - mn, cw))
-    return base, offset
+        mns.append(centroid[ch] + direction[ch] * min_dist)
+        mxs.append(centroid[ch] + direction[ch] * max_dist)
+    cw = jnp.asarray(np.asarray(channel_weights[:nch], dtype=np.float32))
+    base_all = exact_divide(jnp.stack(mns, axis=-1), cw)
+    offset_all = exact_divide(
+        jnp.stack([mxs[ch] - mns[ch] for ch in range(nch)], axis=-1), cw)
+    return ([base_all[..., ch] for ch in range(nch)],
+            [offset_all[..., ch] for ch in range(nch)])
 
 
 def finish_ldr(base, offset, tweak: int, range_: int, nch: int):

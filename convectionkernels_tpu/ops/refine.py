@@ -84,9 +84,15 @@ class EndpointRefiner:
         adenom_zero = adenom == np.float32(0.0)
         adenom = jnp.where(adenom_zero, np.float32(1.0), adenom)
 
+        # one stacked divide for all channels (elementwise, so identical)
+        a_numer = jnp.stack(
+            [self.tv[ch] - self.t * self.v[ch] * w_rcp
+             for ch in range(self.nch)], axis=-1)
+        a_all = exact_divide(a_numer, adenom[..., None])
+
         ep0, ep1 = [], []
         for ch in range(self.nch):
-            a = exact_divide(self.tv[ch] - self.t * self.v[ch] * w_rcp, adenom)
+            a = a_all[..., ch]
             b = (self.v[ch] - a * self.t) * w_rcp
             p1 = b
             p2 = a + b
