@@ -296,6 +296,7 @@ def _pack_rgb_exhaustive(flags, pixels, float_pixels, pw_pixels, base, offset,
         """
         counts_arr = np.asarray(counts_list, dtype=np.int32)  # [P, nc]
         p_count = counts_arr.shape[0]
+        n = zero_i.shape[0]
 
         # element slot -> (group index, within-group position), static
         grp = np.zeros((p_count, 16), dtype=np.int32)
