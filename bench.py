@@ -14,11 +14,9 @@ import time
 
 import numpy as np
 
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), "build",
-                 "jax_cache"))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+from convectionkernels_tpu.utils import cache as _cache  # noqa: E402
+
+_cache.enable()
 
 
 def blockify_test_image(n_blocks: int, seed: int = 42) -> np.ndarray:

@@ -140,15 +140,19 @@ class _HDRIndexSelector:
         self.inverted = None  # per-lane flag, set by conditional_invert
 
         if not fast_indexing:
-            # precompute all interpolants in weighted-linear space
-            # (InitHDR, IndexSelectorHDR.h:84-108) — batched over the range
+            # precompute all interpolants in linear space via
+            # TwosCLHalfToFloat (InitHDR, IndexSelectorHDR.h:84-108),
+            # batched over the range axis; the unweighted values also serve
+            # the ComputeErrorHDRSlow path (SqDiff2CL) via gather.
             idx = jnp.arange(index_range, dtype=jnp.int32)
             shape = unquantized_ep[0][0].shape
             idx = idx.reshape((1,) * len(shape) + (index_range,))
             recon = self._reconstruct_uninverted(
                 [unquantized_ep[e][ch][..., None] for e in range(2)
                  for ch in range(3)], idx)
-            self.interpolators = [lanes.to_float(recon[ch]) * cw[ch]
+            self.interp_unw = [lanes.twoscl_half_to_float(recon[ch])
+                               for ch in range(3)]
+            self.interpolators = [self.interp_unw[ch] * cw[ch]
                                   for ch in range(3)]
 
     def _reconstruct_uninverted(self, ep_flat, index):
@@ -202,11 +206,30 @@ class _HDRIndexSelector:
             lanes.clamp(dist, 0.0, self.max_value))
         return self.invert_single(idx)
 
+    def slow_error_for_index(self, index, f2cl_unw_px, cw_sq, uniform):
+        """ComputeErrorHDRSlow (BCCommon.h:66-82) via interpolator gather:
+        SqDiff2CL(recon(idx), pixel) per channel, weighted. `index` is the
+        already-inverted stored index; gather the uninverted interpolant."""
+        un_idx = self.invert_single(index)  # inversion is an involution
+        err = None
+        for ch in range(3):
+            interp = jnp.take_along_axis(self.interp_unw[ch],
+                                         un_idx[..., None], axis=-1)[..., 0]
+            d = interp - f2cl_unw_px[ch]
+            e = d * d
+            if not uniform:
+                e = e * cw_sq[ch]
+            err = e if err is None else err + e
+        return err
+
 
 def _truncate_signed(v, precision: int):
     """Scalar TruncateToPrecisionSigned (ParallelMath.h:1410-1414)."""
     shift = 32 - precision
     return (v << shift) >> shift
+
+
+DEBUG_STATE = None  # test hook: set to a dict to capture search state
 
 
 def pack(pixels_f16bits, flags: int, channel_weights, is_signed: bool,
@@ -435,8 +458,8 @@ def pack(pixels_f16bits, flags: int, channel_weights, is_signed: bool,
                         idx = selector.select_slow(
                             [flinw[px][ch][:, None, None] for ch in range(3)])
                     idx = jnp.where(is_fix, fix_index, idx)
-                    recon = selector.reconstruct(idx)
                     if fast_indexing:
+                        recon = selector.reconstruct(idx)
                         err = None
                         for ch in range(3):
                             d = recon[ch] - pixels[px][ch][:, None, None]
@@ -445,15 +468,9 @@ def pack(pixels_f16bits, flags: int, channel_weights, is_signed: bool,
                                 e = e * cw_sq[ch]
                             err = e if err is None else err + e
                     else:
-                        err = None
-                        for ch in range(3):
-                            fa = lanes.twoscl_half_to_float(recon[ch])
-                            fb = f2cl_unw[px][ch][:, None, None]
-                            d = fa - fb
-                            e = d * d
-                            if not uniform:
-                                e = e * cw_sq[ch]
-                            err = e if err is None else err + e
+                        err = selector.slow_error_for_index(
+                            idx, [f2cl_unw[px][ch][:, None, None]
+                                  for ch in range(3)], cw_sq, uniform)
                     subset_error = subset_error + jnp.where(
                         member_ps[px], err, np.float32(0.0))
                     if refine_pass != num_refine_rounds - 1:
@@ -628,6 +645,19 @@ def pack(pixels_f16bits, flags: int, channel_weights, is_signed: bool,
                     extra_valid=jnp.isfinite(win_err))
 
         rank_base += num_parts * max_meta * max_meta
+
+        if DEBUG_STATE is not None:
+            DEBUG_STATE.setdefault("groups", []).append(dict(
+                partitioned=partitioned, aprec=aprec,
+                err0=err0_all, val0=val0_all,
+                ep0=ep0_all,
+                totals=totals, any_legal=any_legal,
+                win_err=win_err, win_part=win_part, win_m0=win_m0,
+                win_m1=win_m1, chosen_mode=chosen_mode))
+
+    if DEBUG_STATE is not None:
+        DEBUG_STATE["best"] = dict(error=best.error, rank=best.rank,
+                                   **best.payload)
 
     return _pack_bits(best, n)
 

@@ -17,8 +17,9 @@ if "--xla_cpu_enable_fast_math" not in _flags:
 os.environ["XLA_FLAGS"] = _flags
 
 # persistent compilation cache: recompiles of unchanged encoder graphs are
-# instant across test runs (this box has 1 CPU; cold compiles take minutes)
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(os.path.dirname(__file__), "..", "build",
-                                   "jax_cache"))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+# instant across test runs (this box has 1 CPU; cold compiles take minutes).
+# NOTE: must go through jax.config.update — this JAX build ignores the
+# JAX_COMPILATION_CACHE_DIR env var.
+from convectionkernels_tpu.utils import cache as _cache  # noqa: E402
+
+_cache.enable()
