@@ -59,7 +59,17 @@ def ensure_built() -> tuple[Path, Path]:
     deps = [SHIM] + [REFERENCE / s for s in SOURCES]
     newest_dep = max(p.stat().st_mtime for p in deps if p.exists())
     if not scalar.exists() or scalar.stat().st_mtime < newest_dep:
-        build("liboracle_scalar.so", ["-U__SSE2__"])
+        # -ftrivial-auto-var-init=zero: the reference's BC6H packer has a
+        # real uninitialized-memory bug -- PackingVector::InitPacked
+        # (BC67.cpp:666-671) copies only words 0..2 of the header, leaving
+        # m_vector[3] (block bits 96..127) as stack garbage that Pack()
+        # then ORs the index bits into (BC67.cpp:674-685, used at
+        # :3030-3046). The emitted BC6H bits 96+ are therefore
+        # UB-dependent (observed: stray bits OR'd into pixel-5/6 indexes).
+        # Zero-initializing locals pins the UB to the intended semantics
+        # (garbage == 0), which is the behavior this framework implements.
+        build("liboracle_scalar.so", ["-U__SSE2__",
+                                      "-ftrivial-auto-var-init=zero"])
     if not sse2.exists() or sse2.stat().st_mtime < newest_dep:
         build("liboracle_sse2.so", [])
     return scalar, sse2
