@@ -22,9 +22,12 @@ class OracleOptions:
 
     flags: int = 0x108  # Flags::Default = BC7_FastIndexing | S3TC_Paranoid
     threshold: float = 0.5
-    red_weight: float = 0.2125 / 0.7154
+    # The reference defaults are float32 divisions (0.2125f / 0.7154f,
+    # ConvectionKernels.h:92-95); Python double division differs by 1 ulp
+    # for red, which shifts index-projection near-ties.
+    red_weight: float = float(np.float32(0.2125) / np.float32(0.7154))
     green_weight: float = 1.0
-    blue_weight: float = 0.0721 / 0.7154
+    blue_weight: float = float(np.float32(0.0721) / np.float32(0.7154))
     alpha_weight: float = 1.0
     refine_rounds_bc7: int = 2
     refine_rounds_bc6h: int = 3
