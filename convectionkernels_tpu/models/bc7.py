@@ -230,13 +230,21 @@ def try_single_plane(pixels, float_pixels, pw_pixels, channel_weights, flags,
     use_pca4 = (has_alpha | ~allow_rgb)[:, None]
     rgb_col_of = np.full(243, -1, dtype=np.int32)
     rgb_col_of[rgb_ids] = np.arange(len(rgb_ids))
-    rgba_from_rgb_cols = rgb_col_of[rgba_ids]  # may contain -1 if plan odd
+    rgba_from_rgb_cols = rgb_col_of[rgba_ids]
+    # A shape can be in the RGBA list but not the RGB list (e.g. shape 0 at
+    # quality<=5). The reference then expands an UNINITIALIZED RGB UFEP
+    # (SinglePlaneTemporaries is stack garbage, BC67.cpp:803-812, expand at
+    # :1142); under the zero-initialized oracle build this is a zero UFEP
+    # (base=offset=0, alpha filled 255 by ExpandTo). Replicate that.
+    missing = jnp.asarray((rgba_from_rgb_cols < 0)[None, :])
     safe_cols = np.maximum(rgba_from_rgb_cols, 0)
     rgba_base, rgba_offset = [], []
     for ch in range(4):
         if ch < 3:
             exp_b = jnp.take(rgb_base[ch], jnp.asarray(safe_cols), axis=1)
             exp_o = jnp.take(rgb_offset[ch], jnp.asarray(safe_cols), axis=1)
+            exp_b = jnp.where(missing, np.float32(0.0), exp_b)
+            exp_o = jnp.where(missing, np.float32(0.0), exp_o)
         else:
             exp_b = jnp.full((n, len(rgba_ids)), np.float32(255.0))
             exp_o = jnp.zeros((n, len(rgba_ids)), dtype=jnp.float32)

@@ -51,6 +51,9 @@ def paranoid_diff(a, b, d):
     return abs_diff * abs_diff
 
 
+DEBUG_STATE = None  # test hook: set to a dict to capture search state
+
+
 class _Best:
     """Lane-parallel best-candidate state (endpoints, indexes, range, error)."""
 
@@ -115,6 +118,10 @@ def _test_endpoints(flags, pixels, float_pixels, pw_pixels, unquantized_eps,
 
     better = error < best.error
     best.update(better, error, endpoints, indexes, range_)
+    if DEBUG_STATE is not None:
+        DEBUG_STATE["rounds"].append(dict(
+            range=range_, endpoints=endpoints, indexes=indexes, error=error,
+            better=better))
 
 
 def _test_single_color(flags, pixels, range_: int, cw_sq, best: _Best,
@@ -209,6 +216,9 @@ def pack_rgb(pixels_u8, flags: int, channel_weights, alpha_test: bool,
     base, offset = pca.get_endpoints(centroid, direction, min_d, max_d, cw, 3)
 
     best = _Best(zero_i, zero_f)
+
+    if DEBUG_STATE is not None:
+        DEBUG_STATE["rounds"] = []
 
     if exhaustive:
         _pack_rgb_exhaustive(flags, pixels, float_pixels, pw_pixels, base,
