@@ -672,6 +672,9 @@ def _resolve_th_fake_bt709(quantized, targets, granularity):
     return [quantized[ch] + ((best_octant >> ch) & 1) for ch in range(3)]
 
 
+DEBUG_H = None  # test hook
+
+
 def encode_hmode(stage: StageBest, rank_base: int, groupings, pixels, pw,
                  options: Options):
     """EncodeHMode (ETC.cpp:649-886)."""
@@ -755,7 +758,13 @@ def encode_hmode(stage: StageBest, rank_base: int, groupings, pixels, pw,
                             jnp.where(signs0[px][:, :, None], bit, 0))
             sign_bits = sgn if sign_bits is None else sign_bits | sgn
 
-        skip = (u0[:, :, None] == 0) & (u1[:, None, :] == 0)
+        # The reference's combo walk (ETC.cpp:797-815) pre-increments index0,
+        # so the (0,0) pair is only reached by wrapping -- which happens iff
+        # sector 1 has exactly one unique color (then index1 clamps to 0).
+        # With >1 unique colors in sector 1, (0,0) is never visited.
+        nu1 = jnp.max(u1, axis=-1) + 1  # [N] unique count, sector 1
+        skip = ((u0[:, :, None] == 0) & (u1[:, None, :] == 0)
+                & (nu1[:, None, None] > 1))
         total = jnp.where(skip, INF, total)
 
         # reference combo order is (i1-major, i0) over unique indexes:
@@ -777,6 +786,10 @@ def encode_hmode(stage: StageBest, rank_base: int, groupings, pixels, pw,
             sign_bits=g(sign_bits),
             table=jnp.full((n,), table, dtype=jnp.int32),
         )
+        if DEBUG_H is not None:
+            DEBUG_H.append(dict(table=table, total=total,
+                                colors0=sector_colors[0],
+                                colors1=sector_colors[1], u0=u0, u1=u1))
         if best is None:
             best = cand
         else:
@@ -798,16 +811,20 @@ def encode_planar(stage: StageBest, rank_base: int, pixels, pw,
     uniform = bool(options.flags & Flags.UNIFORM)
     w = _weights(options)
 
-    # Host-side constant normal matrix terms (pixel coordinates only)
+    # Host-side constant normal matrix terms (pixel coordinates only).
+    # The reference accumulates fho/fhv/fov TWICE per pixel through the
+    # aliased references foh/fvh/fvo (ETC.cpp:1305-1327: `float &foh = fho;`
+    # etc.), matching the 2x factors of the error-gradient system; fhh/fvv/
+    # foo accumulate once.
     f = np.float32
     fhh = fho = fhv = foo = fov = fvv = f(0)
     for px in range(16):
         x, y = f(px % 4), f(px // 4)
         fhh = f(fhh + x * x)
-        fhv = f(fhv + x * y)
-        fho = f(fho + x)
+        fhv = f(f(fhv + x * y) + y * x)
+        fho = f(f(fho + x) + x)
         fvv = f(fvv + y * y)
-        fov = f(fov + y)
+        fov = f(f(fov + y) + y)
         foo = f(foo + 1)
 
     o = [None] * 3
@@ -1353,6 +1370,9 @@ def _quantize_etc2_alpha(table_index, value, base, mult, is_11bit, is_signed,
     return q, out_index
 
 
+DEBUG_VT = None  # test hook
+
+
 def encode_virtual_tmode_punchthrough(stage, rank_base, is_isolated_base,
                                       pixels, pw, is_transparent,
                                       options: Options):
@@ -1416,11 +1436,14 @@ def encode_virtual_tmode_punchthrough(stage, rank_base, is_isolated_base,
     best = None
     for table in range(8):
         modifier = int(th_mods[table])
-        # premultiplier scan, step 2 (ETC.cpp:1046)
-        offs = np.arange(-16, 17, 2, dtype=np.int32)
-        offs_b = jnp.asarray(offs)[None, :]
-        clamped = jnp.maximum(-num_line[:, None],
-                              jnp.minimum(num_line[:, None], offs_b))
+        # premultiplier scan: -L..L step 2 per lane (ETC.cpp:1015-1044) --
+        # the offsets share the parity of the lane's own line-pixel count
+        # (clusterMinLine = -numPixelsLine in the scalar build). Steps past
+        # +L clamp to +L, duplicating the last candidate (harmless for the
+        # first-wins argmin, mirroring the reference's consecutive dedup).
+        steps = jnp.asarray(np.arange(0, 17, dtype=np.int32))[None, :]
+        clamped = jnp.minimum(num_line[:, None],
+                              -num_line[:, None] + 2 * steps)
         mod_addend = clamped * (2 * modifier)
 
         quantized = []
@@ -1511,6 +1534,12 @@ def encode_virtual_tmode_punchthrough(stage, rank_base, is_isolated_base,
         cand = dict(error=g(round_err), packed=g(packed), selectors=g(selectors),
                     use_h=g(use_h), h2=packed_h2,
                     table=jnp.full((n,), table, dtype=jnp.int32))
+        if DEBUG_VT is not None:
+            DEBUG_VT.append(dict(table=table, round_err=round_err,
+                                 packed=packed, use_h=use_h, h2=packed_h2,
+                                 t_err=t_err, h_err=h_err,
+                                 h_legal=h_legal, iso_q=list(iso_avg_q),
+                                 h_iso_q=[h_iso_q[table][ch] for ch in range(3)]))
         if best is None:
             best = cand
         else:
