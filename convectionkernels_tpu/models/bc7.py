@@ -525,56 +525,23 @@ def _try_single_color(mode, best, pixels, cw_sq, uniform, shape_ids, masks,
     (BC67.cpp:1448-1451).
     """
     num_real_channels = 3 if is_rgb else 4
-    shape_lens = geom.shape_lengths()[shape_ids]  # [S]
 
-    # average over the *first* len pixels (reference quirk)
-    prefix = np.arange(16)[None, :] < shape_lens[:, None]  # [S,16]
-    totals = [jnp.zeros((n, s_count), dtype=jnp.int32) for _ in range(4)]
-    for px in range(16):
-        m = jnp.asarray(prefix[:, px][None, :])
-        for ch in range(4):
-            totals[ch] = totals[ch] + jnp.where(m, pixels[px][ch][:, None], 0)
-    rcp_len = jnp.asarray((np.float32(1.0)
-                           / shape_lens.astype(np.float32))[None, :])
-    average = [lanes.to_float(t) * rcp_len for t in totals]
-    int_average = [lanes.round_and_convert_to_int_nearest(a) for a in average]
-
-    tables = bc7_single_color.mode_tables(mode)
-
-    best_avg_error = jnp.full((n, s_count), lanes.FLT_MAX, dtype=jnp.float32)
+    # The reference's table-selection loop NEVER commits a candidate: the
+    # update gate is `better = AndNot(pti, better)` (BC67.cpp:1002-1003),
+    # and AndNot(a, b) computes a & ~b in both builds (ParallelMath.h:901
+    # SSE2 via _mm_andnot_si128(b, a), :1648 scalar `a && !b`) -- the
+    # arguments are swapped at this one call site, so the gate is
+    # pti & ~(avgError < FLT_MAX) == false for every table. The effective
+    # single-color candidate is therefore always the INITIAL state: black
+    # endpoints/reconstruction with alpha 255 and index 0 (BC67.cpp:951-961).
+    # The BC7SC tables (regenerated in tables/bc7_single_color.py and
+    # regression-tested) are dead weight at runtime as a result.
     index = jnp.zeros((n, s_count), dtype=jnp.int32)
     eps = [[jnp.zeros((n, s_count), dtype=jnp.int32) if ch < 3 else
             jnp.full((n, s_count), 255, dtype=jnp.int32) for ch in range(4)]
            for _ in range(2)]
     recon = [jnp.zeros((n, s_count), dtype=jnp.int32) if ch < 3 else
              jnp.full((n, s_count), 255, dtype=jnp.int32) for ch in range(4)]
-
-    for t_idx, p_bits, table in tables:
-        tbl = jnp.asarray(table)  # [256,3]
-        pti = pti_arr[:, min(p_bits, parity_max - 1)][:, None] \
-            if p_bits < pti_arr.shape[1] else pti_arr[:, -1][:, None]
-        pti = pti_arr[:, p_bits][:, None] if p_bits < pti_arr.shape[1] \
-            else jnp.zeros((n, 1), dtype=bool)
-
-        cand_eps = [[], []]
-        cand_recon = []
-        avg_error = jnp.zeros((n, s_count), dtype=jnp.float32)
-        for ch in range(num_real_channels):
-            entry = jnp.take(tbl, int_average[ch], axis=0)
-            cand_eps[0].append(entry[..., 0])
-            cand_eps[1].append(entry[..., 1])
-            cand_recon.append(entry[..., 2])
-            delta = lanes.to_float(entry[..., 2]) - average[ch]
-            avg_error = avg_error + delta * delta * cw_sq[ch]
-
-        better = (avg_error < best_avg_error) & ~pti
-        best_avg_error = jnp.where(better, avg_error, best_avg_error)
-        index = jnp.where(better, t_idx, index)
-        for ch in range(num_real_channels):
-            recon[ch] = jnp.where(better, cand_recon[ch], recon[ch])
-            for epi in range(2):
-                eps[epi][ch] = jnp.where(better, cand_eps[epi][ch],
-                                         eps[epi][ch])
 
     agg = [jnp.zeros((n, s_count), dtype=jnp.int32) for _ in range(4)]
     for px in range(16):
