@@ -27,6 +27,36 @@ def _as_block_array(pixels, dtype=jnp.uint8):
     return arr
 
 
+# Per-codec block-chunk sizes: the search stages materialize per-block
+# candidate tensors (e.g. ETC's [N, 81, 81] differential pair grids,
+# BC7's [N, shapes, tweaks, parities] axes) whose peak HBM scales with N.
+# lax.map compiles the body once and runs chunks sequentially on-device,
+# bounding peak memory while keeping each chunk wide enough to saturate
+# the VPU. Encoding an arbitrary-size batch therefore compiles exactly
+# two programs per configuration (the chunk body and the remainder-size
+# call, when any).
+_CHUNK_LIGHT = 32768
+_CHUNK_HEAVY = 4096
+
+
+def _chunked(body, chunk: int):
+    """Map `body` over `chunk`-sized slices of the leading axis."""
+
+    def run(pixels):
+        n = pixels.shape[0]
+        if n <= chunk:
+            return body(pixels)
+        pad = (-n) % chunk
+        if pad:
+            fill = jnp.broadcast_to(pixels[:1], (pad,) + pixels.shape[1:])
+            pixels = jnp.concatenate([pixels, fill], axis=0)
+        batches = pixels.reshape((-1, chunk) + pixels.shape[1:])
+        out = jax.lax.map(body, batches)
+        return out.reshape((-1,) + out.shape[2:])[:n]
+
+    return run
+
+
 @functools.lru_cache(maxsize=None)
 def _bc1_fn(options: Options):
     cw = options.channel_weights()
@@ -38,7 +68,8 @@ def _bc1_fn(options: Options):
             pixels, options.flags, cw, True, options.threshold, exhaustive,
             options.seed_points, options.refine_rounds_s3tc, sc_tables)
 
-    return jax.jit(fn)
+    chunk = _CHUNK_HEAVY if exhaustive else _CHUNK_LIGHT
+    return jax.jit(_chunked(fn, chunk))
 
 
 @functools.lru_cache(maxsize=None)
@@ -64,7 +95,8 @@ def _rgb_noalpha_fn(options: Options):
             pixels, options.flags, cw, False, 1.0, exhaustive,
             options.seed_points, options.refine_rounds_s3tc, sc_tables)
 
-    return jax.jit(fn)
+    chunk = _CHUNK_HEAVY if exhaustive else _CHUNK_LIGHT
+    return jax.jit(_chunked(fn, chunk))
 
 
 @functools.lru_cache(maxsize=None)
@@ -74,7 +106,7 @@ def _bc2_fn(options: Options):
         alpha = s3tc.pack_explicit_alpha(pixels, 3)
         return jnp.concatenate([alpha, color], axis=-1)
 
-    return jax.jit(fn)
+    return jax.jit(_chunked(fn, _CHUNK_LIGHT))
 
 
 @functools.lru_cache(maxsize=None)
@@ -85,7 +117,7 @@ def _bc3_fn(options: Options):
             pixels, 3, False, options.seed_points, options.refine_rounds_iic)
         return jnp.concatenate([alpha, color], axis=-1)
 
-    return jax.jit(fn)
+    return jax.jit(_chunked(fn, _CHUNK_LIGHT))
 
 
 @functools.lru_cache(maxsize=None)
@@ -96,7 +128,7 @@ def _bc4_fn(options: Options, signed: bool):
         return s3tc.pack_interpolated_alpha(
             pixels, 0, signed, options.seed_points, options.refine_rounds_iic)
 
-    return jax.jit(fn)
+    return jax.jit(_chunked(fn, _CHUNK_LIGHT))
 
 
 @functools.lru_cache(maxsize=None)
@@ -110,7 +142,7 @@ def _bc5_fn(options: Options, signed: bool):
             pixels, 1, signed, options.seed_points, options.refine_rounds_iic)
         return jnp.concatenate([r, g], axis=-1)
 
-    return jax.jit(fn)
+    return jax.jit(_chunked(fn, _CHUNK_LIGHT))
 
 
 def encode_bc2(pixels, options: Options = Options()):
@@ -153,7 +185,7 @@ def _bc7_fn(options: Options, plan):
         return bc7.pack(pixels, options.flags, cw, plan,
                         options.refine_rounds_bc7)
 
-    return jax.jit(fn)
+    return jax.jit(_chunked(fn, _CHUNK_HEAVY))
 
 
 @functools.lru_cache(maxsize=None)
@@ -166,7 +198,7 @@ def _bc6h_fn(options: Options, signed: bool):
         return bc6h.pack(pixels, options.flags, cw, signed,
                          options.seed_points, options.refine_rounds_bc6h)
 
-    return jax.jit(fn)
+    return jax.jit(_chunked(fn, _CHUNK_HEAVY))
 
 
 def encode_bc6hu(pixels, options: Options = Options()):
@@ -212,7 +244,7 @@ def _etc_fn(options: Options, kind: str):
             return jnp.concatenate([alpha, color], axis=-1)
         raise ValueError(kind)
 
-    return jax.jit(fn)
+    return jax.jit(_chunked(fn, _CHUNK_HEAVY))
 
 
 @functools.lru_cache(maxsize=None)
@@ -222,7 +254,7 @@ def _eac_fn(options: Options, signed: bool):
     def fn(pixels):
         return etc.compress_eac11(pixels, signed, options)
 
-    return jax.jit(fn)
+    return jax.jit(_chunked(fn, _CHUNK_HEAVY))
 
 
 def encode_etc1(pixels, options: Options = Options()):
