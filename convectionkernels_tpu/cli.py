@@ -30,15 +30,14 @@ from .utils import containers, image as image_util
 
 
 def load_image(path: str) -> np.ndarray:
+    if path.endswith(".npy"):
+        return np.load(path)
     try:
         from PIL import Image
         return np.asarray(Image.open(path).convert("RGBA"))
     except ImportError:
-        pass
-    # raw .npy fallback (no imaging libs installed)
-    if path.endswith(".npy"):
-        return np.load(path)
-    raise SystemExit("no image loader available (install PIL or use .npy)")
+        raise SystemExit(
+            "no image loader available (install PIL or use .npy)")
 
 
 ENCODERS = {
