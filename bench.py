@@ -43,6 +43,11 @@ def hdr_test_blocks(n_blocks: int, seed: int = 43) -> np.ndarray:
     return vals.view(np.int16)
 
 
+# Reference-baseline measurement slice: SSE2 single-core rates are stable
+# well below this count; keeping it small bounds total bench wall-clock.
+REF_SLICE_BLOCKS = 4096
+
+
 def bench_ours(fn, pixels, iters=5):
     import jax
 
@@ -86,9 +91,11 @@ def main():
     hdr = hdr_test_blocks(n_blocks)
 
     # reference rates are estimated on a smaller slice (SSE2 single core is
-    # ~3 orders of magnitude slower; 4096 blocks is plenty for a stable rate)
-    ref_px = px[:4096]
-    ref_hdr = hdr[:4096]
+    # ~3 orders of magnitude slower; this many blocks is plenty for a
+    # stable rate at iters=2)
+    ref_slice = REF_SLICE_BLOCKS
+    ref_px = px[:ref_slice]
+    ref_hdr = hdr[:ref_slice]
 
     results = {}
     headline = None
@@ -111,6 +118,7 @@ def main():
         if name == "bc7_q50":
             headline = (ours, ref_rate)
 
+    assert headline is not None, "bc7_q50 headline entry missing from bench list"
     ours, ref_rate = headline
     print(json.dumps({
         "metric": "bc7_q50_encode_throughput",

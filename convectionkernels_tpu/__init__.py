@@ -1,6 +1,6 @@
 """convectionkernels_tpu — TPU-native texture block compression.
 
-A brand-new JAX/XLA/Pallas framework with the capabilities of
+A brand-new JAX/XLA framework with the capabilities of
 elasota/ConvectionKernels (CVTT): BC1-BC7, ETC1/ETC2/EAC encoding of 4x4
 pixel blocks, bit-identical to the reference's scalar build at equal options.
 """

@@ -30,17 +30,34 @@ def _as_block_array(pixels, dtype=jnp.uint8):
 # Per-codec block-chunk sizes: the search stages materialize per-block
 # candidate tensors (e.g. ETC's [N, 81, 81] differential pair grids,
 # BC7's [N, shapes, tweaks, parities] axes) whose peak HBM scales with N.
-# lax.map compiles the body once and runs chunks sequentially on-device,
-# bounding peak memory while keeping each chunk wide enough to saturate
-# the VPU. Encoding an arbitrary-size batch therefore compiles exactly
-# two programs per configuration (the chunk body and the remainder-size
-# call, when any).
+# Processing the batch in fixed-size chunks bounds peak memory while
+# keeping each chunk wide enough to saturate the VPU.
 _CHUNK_LIGHT = 32768
 _CHUNK_HEAVY = 4096
 
+# Batches smaller than the chunk size are padded up to a power-of-two
+# bucket (>= _BUCKET_MIN) before the jitted call, so arbitrary image
+# sizes reuse a small fixed set of compiled programs per configuration:
+# one per bucket plus the full-chunk body. Padding replicates block 0
+# and is stripped from the output (blocks are independent, so padding
+# cannot change any result; tests/test_chunking.py pins this).
+_BUCKET_MIN = 256
+
+
+def _bucket_size(n: int, chunk: int) -> int:
+    """Padded batch size for n blocks: a multiple of `chunk` when n >= chunk,
+    else the smallest power-of-two bucket in [_BUCKET_MIN, chunk] holding n."""
+    if n >= chunk:
+        return ((n + chunk - 1) // chunk) * chunk
+    b = min(_BUCKET_MIN, chunk)
+    while b < n:
+        b *= 2
+    return min(b, chunk)
+
 
 def _chunked(body, chunk: int):
-    """Map `body` over `chunk`-sized slices of the leading axis."""
+    """Map `body` over `chunk`-sized slices of the leading axis (traceable:
+    used inside jit/shard_map, where the chunk count is shape-static)."""
 
     def run(pixels):
         n = pixels.shape[0]
@@ -57,6 +74,41 @@ def _chunked(body, chunk: int):
     return run
 
 
+def _wrap(body, chunk: int):
+    """Host-level batcher around a jitted fixed-size `body`.
+
+    Pads N up to a bucket size (see _bucket_size), runs the single
+    compiled [chunk]-sized program over chunk slices (or one sub-chunk
+    bucket program), and strips the pad. All N >= chunk share ONE
+    compiled program per configuration; smaller batches share at most
+    log2(chunk/_BUCKET_MIN)+1 bucket programs.
+
+    The returned callable carries `.body` and `.chunk` so the sharded
+    path (parallel.sharding.encode_sharded) can re-compose the chunking
+    per device shard inside shard_map.
+    """
+    jitted = jax.jit(body)
+
+    def run(pixels):
+        n = pixels.shape[0]
+        nb = _bucket_size(n, chunk)
+        if nb != n:
+            fill = jnp.broadcast_to(pixels[:1], (nb - n,) + pixels.shape[1:])
+            pixels = jnp.concatenate([pixels, fill], axis=0)
+        if nb <= chunk:
+            out = jitted(pixels)
+        else:
+            outs = [jitted(jax.lax.slice_in_dim(pixels, i, i + chunk, axis=0))
+                    for i in range(0, nb, chunk)]
+            out = jnp.concatenate(outs, axis=0)
+        return out[:n] if nb != n else out
+
+    run.body = body
+    run.chunk = chunk
+    run.jitted_body = jitted
+    return run
+
+
 @functools.lru_cache(maxsize=None)
 def _bc1_fn(options: Options):
     cw = options.channel_weights()
@@ -69,7 +121,7 @@ def _bc1_fn(options: Options):
             options.seed_points, options.refine_rounds_s3tc, sc_tables)
 
     chunk = _CHUNK_HEAVY if exhaustive else _CHUNK_LIGHT
-    return jax.jit(_chunked(fn, chunk))
+    return _wrap(fn, chunk)
 
 
 @functools.lru_cache(maxsize=None)
@@ -96,7 +148,7 @@ def _rgb_noalpha_fn(options: Options):
             options.seed_points, options.refine_rounds_s3tc, sc_tables)
 
     chunk = _CHUNK_HEAVY if exhaustive else _CHUNK_LIGHT
-    return jax.jit(_chunked(fn, chunk))
+    return _wrap(fn, chunk)
 
 
 @functools.lru_cache(maxsize=None)
@@ -106,7 +158,7 @@ def _bc2_fn(options: Options):
         alpha = s3tc.pack_explicit_alpha(pixels, 3)
         return jnp.concatenate([alpha, color], axis=-1)
 
-    return jax.jit(_chunked(fn, _CHUNK_LIGHT))
+    return _wrap(fn, _CHUNK_LIGHT)
 
 
 @functools.lru_cache(maxsize=None)
@@ -117,7 +169,7 @@ def _bc3_fn(options: Options):
             pixels, 3, False, options.seed_points, options.refine_rounds_iic)
         return jnp.concatenate([alpha, color], axis=-1)
 
-    return jax.jit(_chunked(fn, _CHUNK_LIGHT))
+    return _wrap(fn, _CHUNK_LIGHT)
 
 
 @functools.lru_cache(maxsize=None)
@@ -128,7 +180,7 @@ def _bc4_fn(options: Options, signed: bool):
         return s3tc.pack_interpolated_alpha(
             pixels, 0, signed, options.seed_points, options.refine_rounds_iic)
 
-    return jax.jit(_chunked(fn, _CHUNK_LIGHT))
+    return _wrap(fn, _CHUNK_LIGHT)
 
 
 @functools.lru_cache(maxsize=None)
@@ -142,7 +194,7 @@ def _bc5_fn(options: Options, signed: bool):
             pixels, 1, signed, options.seed_points, options.refine_rounds_iic)
         return jnp.concatenate([r, g], axis=-1)
 
-    return jax.jit(_chunked(fn, _CHUNK_LIGHT))
+    return _wrap(fn, _CHUNK_LIGHT)
 
 
 def encode_bc2(pixels, options: Options = Options()):
@@ -185,7 +237,7 @@ def _bc7_fn(options: Options, plan):
         return bc7.pack(pixels, options.flags, cw, plan,
                         options.refine_rounds_bc7)
 
-    return jax.jit(_chunked(fn, _CHUNK_HEAVY))
+    return _wrap(fn, _CHUNK_HEAVY)
 
 
 @functools.lru_cache(maxsize=None)
@@ -198,7 +250,7 @@ def _bc6h_fn(options: Options, signed: bool):
         return bc6h.pack(pixels, options.flags, cw, signed,
                          options.seed_points, options.refine_rounds_bc6h)
 
-    return jax.jit(_chunked(fn, _CHUNK_HEAVY))
+    return _wrap(fn, _CHUNK_HEAVY)
 
 
 def encode_bc6hu(pixels, options: Options = Options()):
@@ -244,7 +296,7 @@ def _etc_fn(options: Options, kind: str):
             return jnp.concatenate([alpha, color], axis=-1)
         raise ValueError(kind)
 
-    return jax.jit(_chunked(fn, _CHUNK_HEAVY))
+    return _wrap(fn, _CHUNK_HEAVY)
 
 
 @functools.lru_cache(maxsize=None)
@@ -254,7 +306,7 @@ def _eac_fn(options: Options, signed: bool):
     def fn(pixels):
         return etc.compress_eac11(pixels, signed, options)
 
-    return jax.jit(_chunked(fn, _CHUNK_HEAVY))
+    return _wrap(fn, _CHUNK_HEAVY)
 
 
 def encode_etc1(pixels, options: Options = Options()):

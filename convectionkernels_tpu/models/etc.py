@@ -672,7 +672,7 @@ def _resolve_th_fake_bt709(quantized, targets, granularity):
     return [quantized[ch] + ((best_octant >> ch) & 1) for ch in range(3)]
 
 
-DEBUG_H = None  # test hook
+DEBUG_H = None  # test hook; only valid with jit disabled (captures tracers under jit)
 
 
 def encode_hmode(stage: StageBest, rank_base: int, groupings, pixels, pw,
@@ -1370,7 +1370,7 @@ def _quantize_etc2_alpha(table_index, value, base, mult, is_11bit, is_signed,
     return q, out_index
 
 
-DEBUG_VT = None  # test hook
+DEBUG_VT = None  # test hook; only valid with jit disabled (captures tracers under jit)
 
 
 def encode_virtual_tmode_punchthrough(stage, rank_base, is_isolated_base,

@@ -51,7 +51,7 @@ def paranoid_diff(a, b, d):
     return abs_diff * abs_diff
 
 
-DEBUG_STATE = None  # test hook: set to a dict to capture search state
+DEBUG_STATE = None  # test hook: set to a dict to capture search state; only valid with jit disabled
 
 
 class _Best:

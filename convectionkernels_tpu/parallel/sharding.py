@@ -2,18 +2,26 @@
 
 The reference has no distribution layer: callers loop over 8-block groups
 (etc2packer.cpp:215-281) and blocks never interact. The TPU-native
-generalization shards the flattened block axis over a jax.sharding.Mesh:
-pixel blocks are data-parallel on the leading axis, Options/plan/LUTs are
-replicated (broadcast once), and the fixed-size encoded outputs come back
-shard-local in raster order (no collectives needed beyond the input/output
-layout transfers XLA inserts).
+generalization shards the flattened block axis over a jax.sharding.Mesh
+via shard_map: each device runs the per-shard chunked encoder on its own
+slice of the block axis with NO collectives (the exact analogue of the
+reference's caller-distributed independence contract), Options/plan/LUTs
+are jit-static constants replicated into every shard's program, and the
+fixed-size encoded outputs come back shard-local in raster order.
 """
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # jax >= 0.4.35 exposes shard_map at the top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 
 def default_mesh(devices=None) -> Mesh:
@@ -26,13 +34,37 @@ def pad_to_multiple(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
-def encode_sharded(encode_fn, pixels, mesh: Mesh | None = None):
+@functools.lru_cache(maxsize=None)
+def _sharded_fn(encode_fn, mesh: Mesh, chunk: int | None):
+    """jit(shard_map(per-shard chunked body)) for `encode_fn` over `mesh`.
+
+    encode_fn is an api._wrap result (carries .body/.chunk) or any plain
+    batch encoder. Inside shard_map every device sees only its [N/D, ...]
+    shard, so the lax.map chunking composes per shard and XLA cannot
+    insert any cross-device resharding of the candidate tensors.
+    """
+    from ..api import _chunked
+
+    body = getattr(encode_fn, "body", encode_fn)
+    if chunk is None:
+        chunk = getattr(encode_fn, "chunk", None)
+    local = _chunked(body, chunk) if chunk else body
+
+    spec = P("blocks")
+    fn = shard_map(local, mesh=mesh, in_specs=(spec,), out_specs=spec)
+    return jax.jit(fn)
+
+
+def encode_sharded(encode_fn, pixels, mesh: Mesh | None = None,
+                   chunk: int | None = None):
     """Encode [N, 16, C] pixel blocks data-parallel over `mesh`.
 
-    encode_fn: a jitted batch encoder (e.g. api._bc1_fn(options)).
+    encode_fn: an api encoder (e.g. api._bc1_fn(options)).
     Blocks are padded to a multiple of the mesh size (padding replicates
     block 0; the pad is stripped from the output), sharded on the leading
-    axis, encoded, and returned unsharded in raster order.
+    axis, encoded shard-locally (each shard applies the same lax.map
+    chunking as the single-device path), and returned in raster order.
+    `chunk` overrides the per-shard chunk size (tests force tiny chunks).
     """
     if mesh is None:
         mesh = default_mesh()
@@ -47,5 +79,5 @@ def encode_sharded(encode_fn, pixels, mesh: Mesh | None = None):
 
     sharding = NamedSharding(mesh, P("blocks"))
     device_pixels = jax.device_put(pixels, sharding)
-    out = encode_fn(device_pixels)
+    out = _sharded_fn(encode_fn, mesh, chunk)(device_pixels)
     return np.asarray(out)[:n]

@@ -40,6 +40,29 @@ def blockify(image: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(blocks.reshape(-1, 16, 4))
 
 
+def mip_chain(image: np.ndarray) -> list[np.ndarray]:
+    """Full mip chain [level0, level1, ...] down to 1x1 by 2x2 box filter
+    (odd dimensions edge-clamp, matching the conventional round-down mip
+    sizing: next_dim = max(1, dim // 2))."""
+    levels = [image]
+    cur = image
+    while cur.shape[0] > 1 or cur.shape[1] > 1:
+        h, w, c = cur.shape
+        nh, nw = max(1, h // 2), max(1, w // 2)
+        src = cur[: nh * 2 if h > 1 else 1, : nw * 2 if w > 1 else 1]
+        if h > 1 and w > 1:
+            f = src.reshape(nh, 2, nw, 2, c).astype(np.uint32)
+            cur = ((f.sum(axis=(1, 3)) + 2) // 4).astype(np.uint8)
+        elif h > 1:
+            f = src.reshape(nh, 2, 1, c).astype(np.uint32)
+            cur = ((f.sum(axis=1) + 1) // 2).astype(np.uint8)
+        else:
+            f = src.reshape(1, nw, 2, c).astype(np.uint32)
+            cur = ((f.sum(axis=2) + 1) // 2).astype(np.uint8)
+        levels.append(cur)
+    return levels
+
+
 def unblockify(blocks: np.ndarray, height: int, width: int) -> np.ndarray:
     """[Nblocks, 16, 4] -> [H, W, 4] (inverse of blockify)."""
     bh = (height + 3) // 4

@@ -1,12 +1,33 @@
-"""Test configuration: force the CPU backend with 8 virtual devices so
-multi-chip sharding paths can be exercised without TPU hardware.
+"""Test configuration: platform selection + exactness-critical XLA flags.
+
+Platform policy:
+- Golden bit-exactness tests run on the TPU when one is available
+  (platform list "axon,cpu"): it is the production target, its f32
+  mul/add are uncontracted (verified), and its compiles are 10-50x
+  faster than XLA:CPU on this 1-core box.
+- CPU devices are still registered (8 virtual devices via XLA_FLAGS) for
+  the multi-device sharding tests, which pin their meshes to
+  jax.devices("cpu") explicitly.
+- Set CONVECTION_TEST_PLATFORM to override (e.g. "cpu" on a box with no
+  TPU — the default when the ambient JAX_PLATFORMS does not name one).
+
+CPU exactness caveat: on AVX2/AVX512 hosts LLVM's backend fuses f32
+mul+add into FMA (AllowFPOpFusion is hardcoded; no XLA flag disables
+it), which can flip near-tie decisions vs the scalar reference.
+--xla_cpu_max_isa=AVX removes the FMA instruction set and restores
+exact mul/add semantics on CPU.
 
 Must run before jax is imported anywhere.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_ambient = os.environ.get("JAX_PLATFORMS", "")
+_platform = os.environ.get(
+    "CONVECTION_TEST_PLATFORM",
+    "axon,cpu" if "axon" in _ambient else "cpu")
+
+os.environ["JAX_PLATFORMS"] = _platform
 _flags = os.environ.get("XLA_FLAGS", "")
 if "--xla_force_host_platform_device_count" not in _flags:
     _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
@@ -14,7 +35,17 @@ if "--xla_cpu_enable_fast_math" not in _flags:
     # XLA:CPU's fast-math default approximates f32 division (reciprocal +
     # Newton), which breaks bit-exactness vs the IEEE-dividing reference.
     _flags = (_flags + " --xla_cpu_enable_fast_math=false").strip()
+if "--xla_cpu_max_isa" not in _flags:
+    # no FMA contraction on CPU (see module docstring)
+    _flags = (_flags + " --xla_cpu_max_isa=AVX").strip()
 os.environ["XLA_FLAGS"] = _flags
+
+# The TPU plugin in this image overrides JAX_PLATFORMS at registration,
+# so the env var alone is not enough — force the platform through the
+# config as well (must happen before any backend initialization).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", _platform)
 
 # persistent compilation cache: recompiles of unchanged encoder graphs are
 # instant across test runs (this box has 1 CPU; cold compiles take minutes).

@@ -1,0 +1,86 @@
+"""Multi-device bit-exactness of the sharded encode path.
+
+Runs on the 8 virtual CPU devices (conftest registers them regardless of
+the golden-test platform). Blocks are independent (etc2packer.cpp:215-281
+is the reference's caller-distribution model), so sharding the block axis
+over a mesh must be invisible in the output: encode over an 8-device mesh
+at N large enough to force the per-shard lax.map chunking (chunk forced
+tiny) must be byte-identical to the same program on a 1-device mesh, and
+the compiled program must contain no cross-device collectives (no gather
+of the batch to one device).
+
+Both sides run on the CPU backend with identical chunking so the only
+variable is the device partitioning itself.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+import convectionkernels_tpu.api as api
+from convectionkernels_tpu import Options
+from convectionkernels_tpu.bc7_plan import plan_from_quality
+from convectionkernels_tpu.parallel import sharding
+from tests import blockgen
+
+LIGHT = Options(seed_points=1, refine_rounds_s3tc=1, refine_rounds_iic=1,
+                refine_rounds_bc7=1, refine_rounds_bc6h=1)
+
+
+@pytest.fixture(scope="module")
+def meshes():
+    cpus = jax.devices("cpu")
+    assert len(cpus) >= 8, "conftest should provide 8 virtual CPU devices"
+    return (sharding.default_mesh(cpus[:1]), sharding.default_mesh(cpus[:8]))
+
+
+def _assert_no_collectives(encode_fn, mesh, chunk, pixels):
+    jitted = sharding._sharded_fn(encode_fn, mesh, chunk)
+    spec = jax.sharding.NamedSharding(mesh,
+                                      jax.sharding.PartitionSpec("blocks"))
+    arr = jax.device_put(pixels, spec)
+    hlo = jitted.lower(arr).compile().as_text()
+    for op in ("all-gather", "all-reduce", "all-to-all", "collective-permute"):
+        assert op not in hlo, f"sharded encode inserted {op}"
+
+
+def test_bc1_sharded_chunked_bit_exact(meshes):
+    # 8 devices x 25 blocks/shard, chunk 8: lax.map path + remainder padding
+    # run per shard
+    mesh1, mesh8 = meshes
+    px = blockgen.mixed_blocks(200, seed=21)
+    fn = api._bc1_fn(Options())
+    ref = sharding.encode_sharded(fn, px, mesh1, chunk=8)
+    got = sharding.encode_sharded(fn, px, mesh8, chunk=8)
+    assert (ref == got).all()
+    _assert_no_collectives(fn, mesh8, 8, px[:200])
+
+
+def test_bc1_sharded_with_device_padding(meshes):
+    # N not a multiple of the mesh size: 203 pads to 208
+    mesh1, mesh8 = meshes
+    px = blockgen.mixed_blocks(203, seed=22)
+    fn = api._bc1_fn(Options())
+    ref = sharding.encode_sharded(fn, px, mesh1, chunk=8)
+    got = sharding.encode_sharded(fn, px, mesh8, chunk=8)
+    assert (ref == got).all()
+
+
+def test_bc7_sharded_chunked_bit_exact(meshes):
+    mesh1, mesh8 = meshes
+    px = blockgen.mixed_blocks(80, seed=23)
+    fn = api._bc7_fn(LIGHT, plan_from_quality(5))
+    ref = sharding.encode_sharded(fn, px, mesh1, chunk=4)
+    got = sharding.encode_sharded(fn, px, mesh8, chunk=4)
+    assert (ref == got).all()
+    _assert_no_collectives(fn, mesh8, 4, px[:80])
+
+
+def test_bc6h_sharded_chunked_bit_exact(meshes):
+    from tests.test_bc6h import hdr_blocks
+    mesh1, mesh8 = meshes
+    px = hdr_blocks(80, seed=24)
+    fn = api._bc6h_fn(LIGHT, False)
+    ref = sharding.encode_sharded(fn, px, mesh1, chunk=4)
+    got = sharding.encode_sharded(fn, px, mesh8, chunk=4)
+    assert (ref == got).all()
