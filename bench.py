@@ -9,8 +9,18 @@ Mtexels/s per chip divided by the reference CVTT SSE2 build's
 single-core Mtexels/s on this machine for the same format and options
 (BASELINE.md protocol; the reference publishes no numbers of its own).
 
-Per-format details (BC1/BC3/ETC2/BC6H and the reference baselines) are
-printed to stderr.
+Measurement methodology (important): wall-clock timing through the axon
+TPU tunnel is meaningless in both directions — the runtime memoizes
+(executable, inputs) pairs (round 1's same-input loop numbers were
+inflated ~400x), and every fresh execution re-ships the multi-MB
+compiled executable (~30 MB/s), which would deflate honest wall-clock
+numbers by a similar factor. The honest per-chip metric is the
+ON-DEVICE execution time of one fresh (non-memoized) run, read from the
+jax.profiler device trace — that is what a production deployment (where
+the executable is resident) would see. A salted input guarantees the
+profiled run is not a memoized replay.
+
+Per-format details are printed to stderr.
 """
 
 import json
@@ -22,6 +32,13 @@ import numpy as np
 from convectionkernels_tpu.utils import cache as _cache  # noqa: E402
 
 _cache.enable()
+
+# Reference-baseline measurement slice: SSE2 single-core rates are stable
+# well below this count; keeping it small bounds total bench wall-clock.
+REF_SLICE_BLOCKS = 2048
+
+# Device-side measurement batch (one compiled program's worth of blocks).
+BENCH_BLOCKS = 65536
 
 
 def blockify_test_image(n_blocks: int, seed: int = 42) -> np.ndarray:
@@ -43,24 +60,64 @@ def hdr_test_blocks(n_blocks: int, seed: int = 43) -> np.ndarray:
     return vals.view(np.int16)
 
 
-# Reference-baseline measurement slice: SSE2 single-core rates are stable
-# well below this count; keeping it small bounds total bench wall-clock.
-REF_SLICE_BLOCKS = 4096
+def _device_exec_seconds(traced) -> float:
+    """Sum of top-level program executions on the device lane of a
+    jax.profiler chrome trace."""
+    import glob
+    import gzip
+
+    total = 0.0
+    for path in glob.glob(traced + "/**/*.trace.json.gz", recursive=True):
+        with gzip.open(path) as f:
+            trace = json.load(f)
+        evs = trace.get("traceEvents", [])
+        device_pids = {
+            e["pid"] for e in evs
+            if e.get("ph") == "M" and e.get("name") == "process_name"
+            and "device" in str(e.get("args", {}).get("name", "")).lower()
+        }
+        total += sum(
+            e.get("dur", 0) for e in evs
+            if e.get("ph") == "X" and e.get("pid") in device_pids
+            and str(e.get("name", "")).startswith("jit_"))
+    return total / 1e6
 
 
-def bench_ours(fn, pixels, iters=5):
+def bench_ours(fn, pixels):
+    """On-device execution time of one fresh run via jax.profiler
+    (see module docstring). Falls back to wall clock when the trace has
+    no device lane (pure-CPU runs)."""
+    import shutil
+    import tempfile
+
     import jax
+    import jax.numpy as jnp
 
-    device_pixels = jax.device_put(pixels)
-    out = fn(device_pixels)
-    out.block_until_ready()  # compile + warmup
+    @jax.jit
+    def salt_input(x, salt):
+        # vary low bits so each profiled run is a globally fresh input
+        d = jnp.full((), salt, dtype=jnp.int32) & 0x7F
+        return x ^ d.astype(x.dtype)
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(device_pixels)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
-    return pixels.shape[0] * 16 / dt / 1e6
+    x0 = jax.device_put(pixels)
+    np.asarray(fn(x0))  # compile + settle
+
+    salt = np.int32(time.time_ns() & 0x3FFFFFFF)
+    best = None
+    for rep in range(2):
+        x = salt_input(x0, salt + np.int32(rep + 1))
+        tmp = tempfile.mkdtemp(prefix="benchtrace")
+        try:
+            t0 = time.perf_counter()
+            with jax.profiler.trace(tmp):
+                np.asarray(fn(x))
+            wall = time.perf_counter() - t0
+            dev = _device_exec_seconds(tmp)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        dt = dev if dev > 0 else wall
+        best = dt if best is None or dt < best else best
+    return pixels.shape[0] * 16 / best / 1e6
 
 
 def bench_reference(name, pixels, iters=2, **kwargs):
@@ -82,33 +139,48 @@ def bench_reference(name, pixels, iters=2, **kwargs):
 def main():
     from convectionkernels_tpu import Options
     from convectionkernels_tpu.api import (_bc1_fn, _bc3_fn, _bc6h_fn,
-                                           _bc7_fn, _etc_fn)
-    from convectionkernels_tpu.bc7_plan import plan_from_quality
+                                           _bc7_fn, _eac_fn, _etc_fn)
+    from convectionkernels_tpu.bc7_plan import (BC7EncodingPlan,
+                                                plan_from_quality)
 
     opt = Options()
-    n_blocks = 65536  # 1024x1024 image
-    px = blockify_test_image(n_blocks)
-    hdr = hdr_test_blocks(n_blocks)
+    px = blockify_test_image(BENCH_BLOCKS)
+    hdr = hdr_test_blocks(BENCH_BLOCKS)
+    rng = np.random.default_rng(44)
+    s16 = rng.integers(0, 2048, size=(BENCH_BLOCKS, 16), dtype=np.int16)
+    # punchthrough input needs real transparency variation or the
+    # classification short-circuits to the opaque path
+    px_alpha = px.copy()
+    px_alpha[..., 3] = rng.integers(0, 256, size=(BENCH_BLOCKS, 16))
 
-    # reference rates are estimated on a smaller slice (SSE2 single core is
-    # ~3 orders of magnitude slower; this many blocks is plenty for a
-    # stable rate at iters=2)
-    ref_slice = REF_SLICE_BLOCKS
-    ref_px = px[:ref_slice]
-    ref_hdr = hdr[:ref_slice]
+    ref_px = px[:REF_SLICE_BLOCKS]
+    ref_hdr = hdr[:REF_SLICE_BLOCKS]
+    ref_s16 = s16[:REF_SLICE_BLOCKS]
 
     results = {}
     headline = None
     for name, fn, pixels, ref in [
         ("bc1", _bc1_fn(opt), px, ("bc1", ref_px, {})),
         ("bc3", _bc3_fn(opt), px, ("bc3", ref_px, {})),
-        ("etc2", _etc_fn(opt, "etc2"), px, ("etc2", ref_px, {})),
+        ("etc2", _etc_fn(opt, "etc2"), px,
+         ("etc2", ref_px, {})),
+        ("etc2_punchthrough", _etc_fn(opt, "etc2_pt"), px_alpha,
+         ("etc2_punchthrough", px_alpha[:REF_SLICE_BLOCKS], {})),
+        ("eac_r11", _eac_fn(opt, False), s16,
+         ("eac11", ref_s16, {})),
         ("bc7_q50", _bc7_fn(opt, plan_from_quality(50)), px,
          ("bc7", ref_px, {"quality": 50})),
+        ("bc7_q100", _bc7_fn(opt, BC7EncodingPlan()), px,
+         ("bc7", ref_px[:512], {"quality": 0})),
         ("bc6hu", _bc6h_fn(opt, False), hdr,
-         ("bc6h", ref_hdr, {"signed": False})),
+         ("bc6h", ref_hdr[:512], {"signed": False})),
     ]:
-        ours = bench_ours(fn, pixels)
+        # profile ONE chunk-sized program execution: the chunked wrapper's
+        # 16 dispatches each re-upload the executable through the tunnel,
+        # which overflows the profiler window; one chunk is the honest
+        # per-chip steady-state unit (the product path just repeats it)
+        n_bench = min(pixels.shape[0], fn.chunk)
+        ours = bench_ours(fn.jitted_body, pixels[:n_bench])
         ref_name, ref_pixels, ref_kwargs = ref
         ref_rate = bench_reference(ref_name, ref_pixels, **ref_kwargs)
         results[name] = (ours, ref_rate, ours / ref_rate)

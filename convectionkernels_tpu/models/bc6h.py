@@ -142,13 +142,15 @@ class _HDRIndexSelector:
         if not fast_indexing:
             # precompute all interpolants in linear space via
             # TwosCLHalfToFloat (InitHDR, IndexSelectorHDR.h:84-108),
-            # batched over the range axis; the unweighted values also serve
-            # the ComputeErrorHDRSlow path (SqDiff2CL) via gather.
+            # batched over a range axis inserted at position -2 (keeping
+            # the block axis minor preserves the zero-padding TPU layout;
+            # R is 8 or 16, a whole sublane multiple). The unweighted
+            # values also serve ComputeErrorHDRSlow (SqDiff2CL) via gather.
             idx = jnp.arange(index_range, dtype=jnp.int32)
             shape = unquantized_ep[0][0].shape
-            idx = idx.reshape((1,) * len(shape) + (index_range,))
+            idx = idx.reshape((1,) * (len(shape) - 1) + (index_range, 1))
             recon = self._reconstruct_uninverted(
-                [unquantized_ep[e][ch][..., None] for e in range(2)
+                [unquantized_ep[e][ch][..., None, :] for e in range(2)
                  for ch in range(3)], idx)
             self.interp_unw = [lanes.twoscl_half_to_float(recon[ch])
                                for ch in range(3)]
@@ -187,14 +189,16 @@ class _HDRIndexSelector:
 
     def select_slow(self, linear_weighted_pixel):
         """SelectIndexHDRSlow (IndexSelectorHDR.h:125-139): argmin over
-        interpolants, first-wins ties (strict-less update)."""
+        interpolants (range axis at -2), first-wins ties (strict-less
+        update)."""
         err = None
         for ch in range(3):
-            d = linear_weighted_pixel[ch][..., None] - self.interpolators[ch]
+            d = linear_weighted_pixel[ch][..., None, :] \
+                - self.interpolators[ch]
             e = d * d
             err = e if err is None else err + e
         # sequential strict-less == first-occurrence argmin over index order
-        idx = jnp.argmin(err, axis=-1).astype(jnp.int32)
+        idx = jnp.argmin(err, axis=-2).astype(jnp.int32)
         return self.invert_single(idx)
 
     def select_fast(self, pixel_2cl):
@@ -214,7 +218,8 @@ class _HDRIndexSelector:
         err = None
         for ch in range(3):
             interp = jnp.take_along_axis(self.interp_unw[ch],
-                                         un_idx[..., None], axis=-1)[..., 0]
+                                         un_idx[..., None, :],
+                                         axis=-2)[..., 0, :]
             d = interp - f2cl_unw_px[ch]
             e = d * d
             if not uniform:
@@ -323,6 +328,14 @@ def pack(pixels_f16bits, flags: int, channel_weights, is_signed: bool,
         index_bits = 3 if partitioned else 4
         index_range = 1 << index_bits
 
+        # Candidate layout: the (partition, subset) pairs are ONE flattened
+        # axis Q = P*S with the BLOCK axis minor: arrays are [Q, N]. The
+        # round-1 [N,P,S] layout put (32,2) in the minor tile dims, which
+        # the TPU pads to (32,128) — a 64x HBM blowup on every candidate
+        # array; [Q, N] pads nothing (N is a lane multiple, Q a sublane
+        # multiple).
+        q_count = num_parts * num_subsets
+
         # per-(partition,subset) UFEP columns
         if partitioned:
             cols = np.asarray([[2 * pp, 2 * pp + 1] for pp in range(32)],
@@ -343,33 +356,32 @@ def pack(pixels_f16bits, flags: int, channel_weights, is_signed: bool,
                 sub_mask[pp, 0, :] = True
 
         base = [jnp.take(ufep_base[ch], jnp.asarray(cols.reshape(-1)),
-                         axis=1).reshape(n, num_parts, num_subsets)
-                for ch in range(3)]
+                         axis=1).T for ch in range(3)]          # [Q, N]
         offset = [jnp.take(ufep_offset[ch], jnp.asarray(cols.reshape(-1)),
-                           axis=1).reshape(n, num_parts, num_subsets)
-                  for ch in range(3)]
+                           axis=1).T for ch in range(3)]
 
-        shape_ps = (n, num_parts, num_subsets)
-        zero_f = jnp.zeros(shape_ps, dtype=jnp.float32)
+        shape_q = (q_count, n)
+        zero_f = jnp.zeros(shape_q, dtype=jnp.float32)
 
-        meta_eps = []       # per metaRound: [2][3] arrays [N,P,S]
-        meta_indexes = []   # per metaRound: 16 arrays [N,P,S]
-        meta_error = []     # per metaRound: [N,P,S]
-        meta_valid = []     # per metaRound: [N,P,S] bool
+        meta_eps = []       # per metaRound: [2][3] arrays [Q,N]
+        meta_indexes = []   # per metaRound: 16 arrays [Q,N]
+        meta_error = []     # per metaRound: [Q,N]
+        meta_valid = []     # per metaRound: [Q,N] bool
 
-        member_ps = [jnp.asarray(sub_mask[None, :, :, px])
-                     for px in range(16)]
-        fix_arr = jnp.asarray(fixups[None, :, :])  # [1,P,S]
+        member_ps = [jnp.asarray(
+            sub_mask[:, :, px].reshape(q_count)[:, None])
+            for px in range(16)]                     # [Q,1]
+        fix_arr = jnp.asarray(fixups.reshape(q_count)[:, None])  # [Q,1]
 
         # fixup pixel values (static gather, loop-invariant)
         fix_pix_2cl = []
         fix_pix_lin = []
-        sel_fix = jnp.asarray(fixups)  # [P,S] static
+        sel_fix = jnp.asarray(fixups.reshape(q_count))  # [Q] static
         for ch in range(3):
             vals_2cl = jnp.stack([f2cl[px][ch] for px in range(16)], axis=0)
             vals_lin = jnp.stack([flinw[px][ch] for px in range(16)], axis=0)
-            fix_pix_2cl.append(jnp.moveaxis(vals_2cl[sel_fix], -1, 0))
-            fix_pix_lin.append(jnp.moveaxis(vals_lin[sel_fix], -1, 0))
+            fix_pix_2cl.append(vals_2cl[sel_fix])    # [Q, N]
+            fix_pix_lin.append(vals_lin[sel_fix])
 
         for tweak in range(MAX_TWEAK_ROUNDS):
             refiner = EndpointRefiner(zero_f, 3, index_range, cw)
@@ -379,7 +391,7 @@ def pack(pixels_f16bits, flags: int, channel_weights, is_signed: bool,
                     meta_eps.append(None)
                     meta_indexes.append(None)
                     meta_error.append(None)
-                    meta_valid.append(jnp.zeros(shape_ps, dtype=bool))
+                    meta_valid.append(jnp.zeros(shape_q, dtype=bool))
                     continue
 
                 if refine_pass == 0:
@@ -402,22 +414,22 @@ def pack(pixels_f16bits, flags: int, channel_weights, is_signed: bool,
                 refiner = EndpointRefiner(zero_f, 3, index_range, cw)
 
                 # Quantize + unquantize (QuantizeEndpoints*, BC67.cpp:2503-2595)
-                # All 6 endpoint elements stacked through one exact divide.
+                # All 6 endpoint elements stacked (leading axis: keeps the
+                # [Q,N] minor layout) through one exact divide.
                 stacked = jnp.stack([eps_cs[e][ch] for e in range(2)
-                                     for ch in range(3)], axis=-1)
+                                     for ch in range(3)], axis=0)
                 q_st = _quantize_element(stacked, aprec, is_signed)
                 u_st, f_st = _unquantize_element(q_st, aprec, is_signed)
-                q_eps = [[q_st[..., e * 3 + ch] for ch in range(3)]
+                q_eps = [[q_st[e * 3 + ch] for ch in range(3)]
                          for e in range(2)]
-                unq = [[u_st[..., e * 3 + ch] for ch in range(3)]
+                unq = [[u_st[e * 3 + ch] for ch in range(3)]
                        for e in range(2)]
-                fin = [[f_st[..., e * 3 + ch] for ch in range(3)]
+                fin = [[f_st[e * 3 + ch] for ch in range(3)]
                        for e in range(2)]
 
                 selector = _HDRIndexSelector(cw, unq, fin, index_range,
                                              is_signed, fast_indexing)
 
-                fix_b = jnp.broadcast_to(fix_arr, shape_ps)
 
                 if fast_indexing:
                     fix_index = selector.select_fast(fix_pix_2cl)
@@ -435,11 +447,11 @@ def pack(pixels_f16bits, flags: int, channel_weights, is_signed: bool,
                     q_eps[1][ch] = jnp.where(invert, a, b)
 
                 # dedup vs previous meta rounds (BC67.cpp:2853-2877)
-                valid = jnp.ones(shape_ps, dtype=bool)
+                valid = jnp.ones(shape_q, dtype=bool)
                 for prev in range(meta_round):
                     if meta_eps[prev] is None:
                         continue
-                    same = jnp.ones(shape_ps, dtype=bool)
+                    same = jnp.ones(shape_q, dtype=bool)
                     for epi in range(2):
                         for ch in range(3):
                             same = same & (meta_eps[prev][epi][ch]
@@ -450,32 +462,32 @@ def pack(pixels_f16bits, flags: int, channel_weights, is_signed: bool,
                 indexes = []
                 subset_error = zero_f
                 for px in range(16):
-                    is_fix = fix_b == px
+                    is_fix = fix_arr == px
                     if fast_indexing:
                         idx = selector.select_fast(
-                            [f2cl[px][ch][:, None, None] for ch in range(3)])
+                            [f2cl[px][ch][None, :] for ch in range(3)])
                     else:
                         idx = selector.select_slow(
-                            [flinw[px][ch][:, None, None] for ch in range(3)])
+                            [flinw[px][ch][None, :] for ch in range(3)])
                     idx = jnp.where(is_fix, fix_index, idx)
                     if fast_indexing:
                         recon = selector.reconstruct(idx)
                         err = None
                         for ch in range(3):
-                            d = recon[ch] - pixels[px][ch][:, None, None]
+                            d = recon[ch] - pixels[px][ch][None, :]
                             e = lanes.to_float(d * d)
                             if not uniform:
                                 e = e * cw_sq[ch]
                             err = e if err is None else err + e
                     else:
                         err = selector.slow_error_for_index(
-                            idx, [f2cl_unw[px][ch][:, None, None]
+                            idx, [f2cl_unw[px][ch][None, :]
                                   for ch in range(3)], cw_sq, uniform)
                     subset_error = subset_error + jnp.where(
                         member_ps[px], err, np.float32(0.0))
                     if refine_pass != num_refine_rounds - 1:
                         refiner.contribute_unweighted_pw(
-                            [pw_pixels[px][ch][:, None, None]
+                            [pw_pixels[px][ch][None, :]
                              for ch in range(3)], idx,
                             mask=member_ps[px] & valid)
                     indexes.append(idx)
@@ -496,24 +508,30 @@ def pack(pixels_f16bits, flags: int, channel_weights, is_signed: bool,
             rank_base += num_parts * max_meta * max_meta
             continue
 
-        def stack_meta(get):
-            """[N,P,len(valid_rounds)] from per-round [N,P] slices."""
-            return jnp.stack([get(m) for m in valid_rounds], axis=-1)
+        def subset_slice(arr, s):
+            """[Q,N] -> the [P,N] rows of subset s."""
+            return arr.reshape(num_parts, num_subsets, n)[:, s, :]
 
-        err0_all = stack_meta(lambda m: meta_error[m][:, :, 0])
-        val0_all = stack_meta(lambda m: meta_valid[m][:, :, 0])
-        ep0_all = [[stack_meta(lambda m: meta_eps[m][e][ch][:, :, 0])
-                    for ch in range(3)] for e in range(2)]
+        def stack_meta(get):
+            """[P,len(valid_rounds),N] from per-round [P,N] slices."""
+            return jnp.stack([get(m) for m in valid_rounds], axis=1)
+
+        err0_all = stack_meta(lambda m: subset_slice(meta_error[m], 0))
+        val0_all = stack_meta(lambda m: subset_slice(meta_valid[m], 0))
+        ep0_all = [[stack_meta(
+            lambda m: subset_slice(meta_eps[m][e][ch], 0))
+            for ch in range(3)] for e in range(2)]
         if partitioned:
-            err1_all = stack_meta(lambda m: meta_error[m][:, :, 1])
-            val1_all = stack_meta(lambda m: meta_valid[m][:, :, 1])
-            ep1_all = [[stack_meta(lambda m: meta_eps[m][e][ch][:, :, 1])
-                        for ch in range(3)] for e in range(2)]
-            totals = err0_all[..., :, None] + err1_all[..., None, :]
-            valid_pair = val0_all[..., :, None] & val1_all[..., None, :]
+            err1_all = stack_meta(lambda m: subset_slice(meta_error[m], 1))
+            val1_all = stack_meta(lambda m: subset_slice(meta_valid[m], 1))
+            ep1_all = [[stack_meta(
+                lambda m: subset_slice(meta_eps[m][e][ch], 1))
+                for ch in range(3)] for e in range(2)]
+            totals = err0_all[:, :, None, :] + err1_all[:, None, :, :]
+            valid_pair = val0_all[:, :, None, :] & val1_all[:, None, :, :]
         else:
-            totals = err0_all[..., :, None]
-            valid_pair = val0_all[..., :, None]
+            totals = err0_all[:, :, None, :]
+            valid_pair = val0_all[:, :, None, :]
 
         m_count = len(valid_rounds)
         m1_count = m_count if partitioned else 1
@@ -528,16 +546,16 @@ def pack(pixels_f16bits, flags: int, channel_weights, is_signed: bool,
                 legal = jnp.ones_like(valid_pair)
             else:
                 legal = None
-                ep00 = [ep0_all[0][ch][..., :, None] for ch in range(3)]
+                ep00 = [ep0_all[0][ch][:, :, None, :] for ch in range(3)]
                 for ch in range(3):
                     # subset 0 ep1 (depends on meta0 only)
-                    v = ep0_all[1][ch][..., :, None]
+                    v = ep0_all[1][ch][:, :, None, :]
                     delta = _truncate_signed(v - ep00[ch], bprec[ch])
                     ok = ((delta + ep00[ch]) & a_mask) == (v & a_mask)
                     legal = ok if legal is None else legal & ok
                     if partitioned:
                         for e in range(2):
-                            v = ep1_all[e][ch][..., None, :]
+                            v = ep1_all[e][ch][:, None, :, :]
                             delta = _truncate_signed(v - ep00[ch], bprec[ch])
                             ok = ((delta + ep00[ch]) & a_mask) \
                                 == (v & a_mask)
@@ -547,9 +565,10 @@ def pack(pixels_f16bits, flags: int, channel_weights, is_signed: bool,
         cand_err = jnp.where(valid_pair & any_legal, totals, INF)
 
         # ordered argmin over (P, M0, M1) in visitation-rank order
-        flat = cand_err.reshape(n, -1)
-        win = jnp.argmin(flat, axis=-1)
-        win_err = jnp.take_along_axis(flat, win[:, None], axis=1)[:, 0]
+        # (leading-axis flatten preserves p-major, then m0, then m1 order)
+        flat = cand_err.reshape(-1, n)
+        win = jnp.argmin(flat, axis=0)
+        win_err = jnp.take_along_axis(flat, win[None, :], axis=0)[0]
 
         # static decode of the flat winner index
         meta_ids = np.asarray(valid_rounds, dtype=np.int32)
@@ -573,10 +592,10 @@ def pack(pixels_f16bits, flags: int, channel_weights, is_signed: bool,
         win_m1_pos = jnp.take(jnp.asarray(m1_pos_of), win)
 
         def gather_pm(arr, m_pos):
-            """arr [N,P,M] -> [N] at (win_part, m_pos)."""
-            flat_arr = arr.reshape(n, -1)
-            idx = win_part * arr.shape[-1] + m_pos
-            return jnp.take_along_axis(flat_arr, idx[:, None], axis=1)[:, 0]
+            """arr [P,M,N] -> [N] at (win_part, m_pos)."""
+            flat_arr = arr.reshape(-1, n)
+            idx = win_part * arr.shape[1] + m_pos
+            return jnp.take_along_axis(flat_arr, idx[None, :], axis=0)[0]
 
         # winner endpoints and first-legal mode recomputed on [N]
         w_ep = [[[gather_pm(ep0_all[e][ch], win_m0_pos) for ch in range(3)]
@@ -615,11 +634,12 @@ def pack(pixels_f16bits, flags: int, channel_weights, is_signed: bool,
                                                   enc[s][e][ch])
 
         # winner indexes: per pixel from the owning subset's meta round
-        idx0_all = [stack_meta(lambda m, px=px: meta_indexes[m][px][:, :, 0])
-                    for px in range(16)]
+        idx0_all = [stack_meta(
+            lambda m, px=px: subset_slice(meta_indexes[m][px], 0))
+            for px in range(16)]
         if partitioned:
             idx1_all = [stack_meta(
-                lambda m, px=px: meta_indexes[m][px][:, :, 1])
+                lambda m, px=px: subset_slice(meta_indexes[m][px], 1))
                 for px in range(16)]
         idx_px = []
         for px in range(16):

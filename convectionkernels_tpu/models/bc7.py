@@ -317,33 +317,42 @@ def try_single_plane(pixels, float_pixels, pw_pixels, channel_weights, flags,
         base = [jnp.take(b, cols, axis=1) for b in src_base]
         offset = [jnp.take(o, cols, axis=1) for o in src_offset]
 
-        # Tweak axis: quantized base endpoints [N,S,T] (BC67.cpp:1266-1279)
+        # Candidate axis layout: all (tweak, parity) combinations are ONE
+        # axis C of size T*P placed as the SECOND-minor dim, with shapes S
+        # minor: arrays are [N, C, S]. On TPU the minor two dims map to the
+        # (8,128)-tiled registers, so [N, 16, 128-ish] has (near-)zero
+        # layout padding, where the round-1 [N,S,T,P] layout padded the
+        # trailing (4,4) dims to (8,128) — a 64x HBM blowup that dominated
+        # the encode time. c = t*P + p.
         t_count = MAX_TWEAK_ROUNDS
+        c_count = t_count * parity_max
+        c_t = np.arange(c_count) // parity_max   # tweak index per candidate
+        c_p = np.arange(c_count) % parity_max    # parity index per candidate
+
         f0s = np.zeros(t_count, dtype=np.float32)
         f1s = np.zeros(t_count, dtype=np.float32)
         for t in range(t_count):
             f0s[t], f1s[t] = lanes.compute_tweak_factors(t, index_range)
-        f0s = jnp.asarray(f0s)
-        f1s = jnp.asarray(f1s)
+        f0c = jnp.asarray(f0s[c_t])[None, :, None]  # [1,C,1]
+        f1c = jnp.asarray(f1s[c_t])[None, :, None]
 
-        tweak_ep = [[], []]  # [epi][ch] -> [N,S,T]
+        tweak_ep = [[], []]  # [epi][ch] -> [N,C,S]
         for ch in range(4):
             if is_rgb and ch == 3:
-                e0 = jnp.full((n, s_count, t_count), 255, dtype=jnp.int32)
+                e0 = jnp.full((n, c_count, s_count), 255, dtype=jnp.int32)
                 e1 = e0
             else:
-                b = base[ch][..., None]
-                o = offset[ch][..., None]
+                b = base[ch][:, None, :]
+                o = offset[ch][:, None, :]
                 e0 = lanes.round_and_convert_to_int_nearest(
-                    lanes.clamp(b + o * f0s, 0.0, 255.0))
+                    lanes.clamp(b + o * f0c, 0.0, 255.0))
                 e1 = lanes.round_and_convert_to_int_nearest(
-                    lanes.clamp(b + o * f1s, 0.0, 255.0))
+                    lanes.clamp(b + o * f1c, 0.0, 255.0))
             tweak_ep[0].append(e0)
             tweak_ep[1].append(e1)
 
         # static candidate validity: tweak t valid iff t < seeds[shape]
-        tweak_valid = (np.arange(t_count)[None, :]
-                       < seeds[:, None])  # [S,T]
+        cand_valid = (c_t[:, None] < seeds[None, :])  # [C,S]
 
         # punchthrough invalidations per parity (BC67.cpp:1281-1303)
         pti = []  # [P] of [N] bool
@@ -358,64 +367,61 @@ def try_single_plane(pixels, float_pixels, pw_pixels, channel_weights, flags,
             else:
                 pti.append(jnp.zeros((n,), dtype=bool))
         pti_arr = jnp.stack(pti, axis=-1)  # [N,P]
+        pti_c = jnp.take(pti_arr, jnp.asarray(c_p), axis=1)[:, :, None]
 
-        p0s = np.arange(parity_max) & 1
-        p1s = (np.arange(parity_max) >> 1) & 1
+        p0c = jnp.asarray((c_p & 1).astype(np.int32))[:, None]        # [C,1]
+        p1c = jnp.asarray(((c_p >> 1) & 1).astype(np.int32))[:, None]
 
-        # --- candidate evaluation over (S, T, P) x refine rounds ---
+        # --- candidate evaluation over C x refine rounds ---
         best = LexBest.empty((n, s_count), {
             "ep": (2, 4),
             "idx": (16,),
         })
 
-        full255 = jnp.full((n, s_count, t_count, parity_max), 255,
-                           dtype=jnp.int32)
-        ep_state = [[tweak_ep[epi][ch][..., None]
-                     + jnp.zeros((1, 1, 1, parity_max), dtype=jnp.int32)
-                     for ch in range(4)] for epi in range(2)]
+        full255 = jnp.full((n, c_count, s_count), 255, dtype=jnp.int32)
+        ep_state = [[tweak_ep[epi][ch] for ch in range(4)]
+                    for epi in range(2)]
 
-        member_b = [jnp.asarray(masks[:, px][None, :, None, None])
+        member_b = [jnp.asarray(masks[:, px][None, None, :])
                     for px in range(16)]
-        fp_b = [[float_pixels[px][ch][:, None, None, None]
-                 for ch in range(4)] for px in range(16)]
-        ip_b = [[pixels[px][ch][:, None, None, None] for ch in range(4)]
+        member_s = [jnp.asarray(masks[:, px][None, :]) for px in range(16)]
+        fp_b = [[float_pixels[px][ch][:, None, None] for ch in range(4)]
                 for px in range(16)]
-        pwp_b = [[pw_pixels[px][ch][:, None, None, None] for ch in range(4)]
+        ip_b = [[pixels[px][ch][:, None, None] for ch in range(4)]
+                for px in range(16)]
+        pwp_b = [[pw_pixels[px][ch][:, None, None] for ch in range(4)]
                  for px in range(16)]
+        fp_s = [[float_pixels[px][ch][:, None] for ch in range(4)]
+                for px in range(16)]
+        ip_s = [[pixels[px][ch][:, None] for ch in range(4)]
+                for px in range(16)]
 
-        zero_nstp = jnp.zeros((n, s_count, t_count, parity_max),
-                              dtype=jnp.float32)
+        zero_ncs = jnp.zeros((n, c_count, s_count), dtype=jnp.float32)
 
-        # visitation rank (p-major, then tweak, then refine), [S?,T,P] static
-        base_rank = ((p1s * 2 + p0s)[None, :] * t_count
-                     + np.arange(t_count)[:, None])  # [T,P] = p*T + t
-        for refine in range(num_refine_rounds):
-            compressed = compress_endpoints(
-                mode, ep_state,
-                jnp.asarray(p0s, dtype=jnp.int32),
-                jnp.asarray(p1s, dtype=jnp.int32), full255)
-
-            selector = IndexSelector(cw, compressed, index_range, 4)
-            refiner = EndpointRefiner(zero_nstp, 4, index_range, cw)
-
-            shape_error = zero_nstp
-            agg = [jnp.zeros((n, s_count, t_count, parity_max),
-                             dtype=jnp.int32) for _ in range(4)]
+        def accumulate_error(selector, shape_like, members, fps, ips,
+                             with_refiner=None, pwps=None, keep_indexes=False):
+            """One pass over the 16 pixels: select (+/-1 retest when slow
+            indexing), accumulate weighted error, optionally feed the
+            refiner. Shared by the full candidate grid ([N,C,S]) and the
+            winner-recompute ([N,S]) paths — identical arithmetic."""
+            shape_error = jnp.zeros_like(shape_like)
+            agg = [jnp.zeros(shape_like.shape, dtype=jnp.int32)
+                   for _ in range(4)]
             indexes = []
             for px in range(16):
-                index = selector.select_index_ldr(fp_b[px])
+                index = selector.select_index_ldr(fps[px])
                 if fast_indexing:
                     recon = selector.reconstruct_ldr_bc7(index,
                                                          num_real_channels)
                     for ch in range(num_real_channels):
                         agg[ch] = agg[ch] + jnp.where(
-                            member_b[px],
-                            lanes.sq_diff_int(recon[ch], ip_b[px][ch]), 0)
+                            members[px],
+                            lanes.sq_diff_int(recon[ch], ips[px][ch]), 0)
                 else:
-                    def px_error(idx_val):
+                    def px_error(idx_val, px=px):
                         rec = selector.reconstruct_ldr_bc7(idx_val,
                                                            num_real_channels)
-                        errs = [lanes.sq_diff_int(rec[ch], ip_b[px][ch])
+                        errs = [lanes.sq_diff_int(rec[ch], ips[px][ch])
                                 for ch in range(num_real_channels)]
                         if uniform:
                             tot = errs[0]
@@ -436,13 +442,14 @@ def try_single_plane(pixels, float_pixels, pw_pixels, channel_weights, flags,
                         error = jnp.minimum(error, alt_error)
                         index = jnp.where(better, alt, index)
                     shape_error = shape_error + jnp.where(
-                        member_b[px], error, np.float32(0.0))
+                        members[px], error, np.float32(0.0))
 
-                if refine != num_refine_rounds - 1:
-                    refiner.contribute_unweighted_pw(
-                        [pwp_b[px][ch] for ch in range(4)], index,
-                        num_real_channels, mask=member_b[px])
-                indexes.append(index)
+                if with_refiner is not None:
+                    with_refiner.contribute_unweighted_pw(
+                        [pwps[px][ch] for ch in range(4)], index,
+                        num_real_channels, mask=members[px])
+                if keep_indexes:
+                    indexes.append(index)
 
             if fast_indexing:
                 if uniform:
@@ -455,45 +462,65 @@ def try_single_plane(pixels, float_pixels, pw_pixels, channel_weights, flags,
                     for ch in range(1, 4):
                         shape_error = shape_error + lanes.to_float(
                             agg[ch]) * cw_sq[ch]
+            return shape_error, indexes
+
+        # visitation rank (p-major, then tweak, then refine): rank_c = p*T+t
+        base_rank_c = (c_p * t_count + c_t).astype(np.int32)  # [C]
+        flat_order = np.argsort(base_rank_c, kind="stable")
+        rank_sorted = jnp.asarray(base_rank_c[flat_order])
+
+        for refine in range(num_refine_rounds):
+            compressed = compress_endpoints(mode, ep_state, p0c, p1c,
+                                            full255)
+
+            selector = IndexSelector(cw, compressed, index_range, 4)
+            refiner = (EndpointRefiner(zero_ncs, 4, index_range, cw)
+                       if refine != num_refine_rounds - 1 else None)
+
+            shape_error, _ = accumulate_error(
+                selector, zero_ncs, member_b, fp_b, ip_b,
+                with_refiner=refiner, pwps=pwp_b)
 
             if is_rgb:
                 shape_error = shape_error + jnp.take(
-                    static_alpha_error_rgb, cols, axis=1)[..., None, None]
+                    static_alpha_error_rgb, cols, axis=1)[:, None, :]
 
             # invalid candidates: tweak beyond seeds, or punchthrough-invalid
-            invalid = jnp.asarray(~tweak_valid[None, :, :, None])
-            invalid = invalid | pti_arr[:, None, None, :]
+            invalid = jnp.asarray(~cand_valid)[None, :, :] | pti_c
             cand_error = jnp.where(invalid, INF, shape_error)
 
-            # order candidates by rank: transpose (T,P) -> rank order p*T+t
-            rank = jnp.asarray((base_rank * num_refine_rounds + refine)
-                               .astype(np.int32))  # [T,P]
-            flat_order = np.argsort((base_rank).reshape(-1),
-                                    kind="stable")  # positions in rank order
+            # first-occurrence argmin in visitation-rank order over C
+            cand_ord = cand_error[:, flat_order, :]
+            win = jnp.argmin(cand_ord, axis=1)          # [N,S]
+            min_err = jnp.take_along_axis(cand_ord, win[:, None, :],
+                                          axis=1)[:, 0, :]
+            win_rank = (jnp.take(rank_sorted, win) * num_refine_rounds
+                        + refine).astype(jnp.int32)
 
-            def flat(x):
-                return x.reshape(x.shape[:-2] + (-1,))[..., flat_order]
+            def gather_c(arr):
+                return jnp.take_along_axis(arr[:, flat_order, :],
+                                           win[:, None, :], axis=1)[:, 0, :]
 
-            cand_flat = flat(cand_error)
-            min_err, win = _ordered_argmin(cand_flat)
-            win_rank = _gather_last(flat(jnp.broadcast_to(
-                rank, cand_error.shape).astype(jnp.int32)), win)
+            win_ep = [[gather_c(compressed[epi][ch]) for ch in range(4)]
+                      for epi in range(2)]
 
-            payload = {}
-            ep_cols = []
-            for epi in range(2):
-                for ch in range(4):
-                    ep_cols.append(_gather_last(flat(compressed[epi][ch]),
-                                                win))
-            payload["ep"] = jnp.stack(ep_cols, axis=-1).reshape(
-                (n, s_count, 2, 4))
-            payload["idx"] = jnp.stack(
-                [_gather_last(flat(indexes[px]), win) for px in range(16)],
-                axis=-1)
+            # Recompute the winner's 16 pixel indexes on the small [N,S]
+            # arrays instead of materializing 16 full [N,C,S] index planes
+            # (identical arithmetic on the gathered endpoints).
+            sel_win = IndexSelector(cw, win_ep, index_range, 4)
+            _, win_indexes = accumulate_error(
+                sel_win, min_err, member_s, fp_s, ip_s, keep_indexes=True)
+
+            payload = {
+                "ep": jnp.stack(
+                    [jnp.stack([win_ep[epi][ch] for ch in range(4)], axis=-1)
+                     for epi in range(2)], axis=-2),
+                "idx": jnp.stack(win_indexes, axis=-1),
+            }
 
             best.update(min_err, win_rank, payload)
 
-            if refine != num_refine_rounds - 1:
+            if refiner is not None:
                 r0, r1 = refiner.get_refined_endpoints_ldr(num_real_channels)
                 for ch in range(num_real_channels):
                     ep_state[0][ch] = r0[ch]
