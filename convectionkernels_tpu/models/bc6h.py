@@ -198,7 +198,7 @@ class _HDRIndexSelector:
             e = d * d
             err = e if err is None else err + e
         # sequential strict-less == first-occurrence argmin over index order
-        idx = jnp.argmin(err, axis=-2).astype(jnp.int32)
+        idx = lanes.first_argmin(err, -2).astype(jnp.int32)
         return self.invert_single(idx)
 
     def select_fast(self, pixel_2cl):
@@ -567,7 +567,7 @@ def pack(pixels_f16bits, flags: int, channel_weights, is_signed: bool,
         # ordered argmin over (P, M0, M1) in visitation-rank order
         # (leading-axis flatten preserves p-major, then m0, then m1 order)
         flat = cand_err.reshape(-1, n)
-        win = jnp.argmin(flat, axis=0)
+        win = lanes.first_argmin(flat, 0)
         win_err = jnp.take_along_axis(flat, win[None, :], axis=0)[0]
 
         # static decode of the flat winner index

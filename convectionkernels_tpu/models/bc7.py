@@ -163,8 +163,10 @@ class LexBest:
 
 def _ordered_argmin(error, rank_axis_is_ordered=True):
     """First-occurrence argmin over the last axis (candidates pre-ordered by
-    visitation rank), returning (min_error, argmin_index)."""
-    idx = jnp.argmin(error, axis=-1)
+    visitation rank), returning (min_error, argmin_index). Uses
+    lanes.first_argmin — jnp.argmin's documented first-occurrence tie
+    rule is not honored by every XLA:TPU reduce lowering."""
+    idx = lanes.first_argmin(error, -1)
     err = jnp.take_along_axis(error, idx[..., None], axis=-1)[..., 0]
     return err, idx
 
@@ -491,7 +493,7 @@ def try_single_plane(pixels, float_pixels, pw_pixels, channel_weights, flags,
 
             # first-occurrence argmin in visitation-rank order over C
             cand_ord = cand_error[:, flat_order, :]
-            win = jnp.argmin(cand_ord, axis=1)          # [N,S]
+            win = lanes.first_argmin(cand_ord, 1)       # [N,S]
             min_err = jnp.take_along_axis(cand_ord, win[:, None, :],
                                           axis=1)[:, 0, :]
             win_rank = (jnp.take(rank_sorted, win) * num_refine_rounds

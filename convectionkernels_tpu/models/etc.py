@@ -216,7 +216,7 @@ def _test_half_block(packed, sector_pixels, sector_pw, modifiers,
         pw = [sector_pw[px][ch][:, None, None, None] for ch in range(3)]
         err = compute_error(modified, pix, pw, options)  # [N,T,C,4]
         # per-pixel best selector: strict-less, first wins == ordered argmin
-        sel = jnp.argmin(err, axis=-1).astype(jnp.int32)
+        sel = lanes.first_argmin(err, -1).astype(jnp.int32)
         best = jnp.min(err, axis=-1)
         total_error = best if total_error is None else total_error + best
         s = sel << (px * 2)
@@ -296,7 +296,7 @@ def compress_etc1_internal(stage: StageBest, rank_base: int, pixels, pw,
                 if d == 0:
                     # individual: per-sector lex-argmin in (table, offset) order
                     flat_err = error.reshape(n, -1)
-                    win = jnp.argmin(flat_err, axis=-1)
+                    win = lanes.first_argmin(flat_err, -1)
 
                     def gather(x, win=win):
                         return jnp.take_along_axis(x.reshape(n, -1),
@@ -392,7 +392,7 @@ def _resolve_differential(diff_data, n, can_ignore=None):
             e1_masked = jnp.where(is_min, e1_b, INF)
             mine1 = jnp.min(e1_masked, axis=-1)
             is_min2 = is_min & (e1_b == mine1[:, :, None])
-            argj = jnp.argmin(jnp.where(is_min2, u1_b, 2**30), axis=-1)
+            argj = lanes.first_argmin(jnp.where(is_min2, u1_b, 2**30), -1)
 
             def gj(x, argj=argj):
                 return jnp.take_along_axis(x, argj[:, :, None],
@@ -418,7 +418,7 @@ def _resolve_differential(diff_data, n, can_ignore=None):
             e1m = jnp.where(is_mi, row["e1"], INF)
             mine1i = jnp.min(e1m, axis=-1)
             is_mi = is_mi & (row["e1"] == mine1i[:, None])
-            argi = jnp.argmin(jnp.where(is_mi, row["u1"], 2**30), axis=-1)
+            argi = lanes.first_argmin(jnp.where(is_mi, row["u1"], 2**30), -1)
 
             def gi(x, argi=argi):
                 return jnp.take_along_axis(x, argi[:, None], axis=1)[:, 0]
@@ -625,7 +625,7 @@ def encode_tmode(stage: StageBest, rank_base: int, is_isolated, pixels, pw,
                 else selectors | sel_shift
 
         # candidate reduce in dense order (== unique order within table)
-        win = jnp.argmin(error, axis=-1)
+        win = lanes.first_argmin(error, -1)
 
         def g(x, win=win):
             return jnp.take_along_axis(x, win[:, None], axis=1)[:, 0]
@@ -771,7 +771,7 @@ def encode_hmode(stage: StageBest, rank_base: int, groupings, pixels, pw,
         # rank = u1 * numUnique0 + u0; dense argmin in (u1, u0) order:
         # flatten with axis order (j, i)
         total_t = jnp.swapaxes(total, 1, 2).reshape(n, -1)
-        win = jnp.argmin(total_t, axis=-1)
+        win = lanes.first_argmin(total_t, -1)
 
         def g(x, win=win):
             xt = jnp.swapaxes(jnp.broadcast_to(x, total.shape), 1,
@@ -1298,7 +1298,7 @@ def _compress_alpha_internal(pixels, is_11bit: bool, is_signed: bool):
         total = total + d * d  # wraps like the reference's i32
         idx_list.append(pos_index + 4 - (sign_bits & 4))
 
-    win = jnp.argmin(total, axis=-1)
+    win = lanes.first_argmin(total, -1)
 
     def g(x):
         return jnp.take_along_axis(x, win[:, None], axis=1)[:, 0]
@@ -1526,7 +1526,7 @@ def encode_virtual_tmode_punchthrough(stage, rank_base, is_isolated_base,
             s = sel << (px * 2)
             selectors = s if selectors is None else selectors | s
 
-        win = jnp.argmin(round_err, axis=-1)
+        win = lanes.first_argmin(round_err, -1)
 
         def g(x, win=win):
             return jnp.take_along_axis(x, win[:, None], axis=1)[:, 0]

@@ -358,7 +358,7 @@ def _pack_rgb_exhaustive(flags, pixels, float_pixels, pw_pixels, base, offset,
 
         err, eps_w, idx_w = _test_endpoints_batch(
             flags, pixels, float_pixels, [e0, e1], n_counts, cw, cw_sq)
-        win = jnp.argmin(err, axis=-1)  # first occurrence = visitation order
+        win = lanes.first_argmin(err, -1)  # first occurrence = visitation order
 
         def g(x):
             return jnp.take_along_axis(x, win[:, None], axis=1)[:, 0]

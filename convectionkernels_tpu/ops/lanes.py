@@ -125,6 +125,25 @@ def twoscl_half_to_float(v):
     return f - correction
 
 
+def first_argmin(x, axis: int):
+    """First-occurrence argmin with GUARANTEED tie semantics.
+
+    jnp.argmin documents first-occurrence ties, but the XLA:TPU lowering
+    of the fused variadic reduce does not honor it on every axis/layout
+    combination (observed: rare tie-dependent winner flips vs the scalar
+    reference on smooth-gradient inputs). Two plain min-reduces are
+    unambiguous: the value min, then the min index among positions
+    achieving it.
+    """
+    import jax
+
+    if axis < 0:
+        axis += x.ndim
+    m = jnp.min(x, axis=axis, keepdims=True)
+    iota = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis)
+    return jnp.min(jnp.where(x == m, iota, x.shape[axis]), axis=axis)
+
+
 def compute_tweak_factors(tweak: int, range_: int) -> tuple[np.float32, np.float32]:
     """Util::ComputeTweakFactors (ConvectionKernels_Util.cpp:75-84).
 

@@ -40,10 +40,15 @@ def test_same_bucket_reuses_program(oracle):
     px_a = blockgen.mixed_blocks(40, seed=11)
     px_b = blockgen.mixed_blocks(72, seed=12)
     got_a = np.asarray(api.encode_bc1(px_a))
+    after_a = fn.jitted_body._cache_size()
     got_b = np.asarray(api.encode_bc1(px_b))
+    after_b = fn.jitted_body._cache_size()
 
-    # both 40 and 72 pad to the 256 bucket: exactly one new program
-    assert fn.jitted_body._cache_size() == base + 1
+    # both 40 and 72 pad to the 256 bucket: at most one new program for
+    # the first call (zero when an earlier test already hit the bucket),
+    # and the second call must not add any
+    assert after_a <= base + 1
+    assert after_b == after_a
 
     assert (got_a == oracle.encode_bc1(px_a)).all()
     assert (got_b == oracle.encode_bc1(px_b)).all()
