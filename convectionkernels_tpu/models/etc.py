@@ -145,30 +145,6 @@ class StageBest:
         return jnp.stack(cols, axis=-1).astype(jnp.uint8)
 
 
-def _lex5_update(best, cand):
-    """Progressive lexicographic minimum over 5-key tuples (arrays)."""
-    bt, be0, bi0, be1, bi1 = best["key"]
-    t, e0, i0, e1, i1 = cand["key"]
-    better = (t < bt)
-    eq = t == bt
-    better = better | (eq & (e0 < be0))
-    eq = eq & (e0 == be0)
-    better = better | (eq & (i0 < bi0))
-    eq = eq & (i0 == bi0)
-    better = better | (eq & (e1 < be1))
-    eq = eq & (e1 == be1)
-    better = better | (eq & (i1 < bi1))
-    if cand.get("valid") is not None:
-        better = better & cand["valid"]
-    out = {"key": tuple(jnp.where(better, c, b)
-                        for c, b in zip(cand["key"], best["key"]))}
-    for k in best:
-        if k == "key":
-            continue
-        out[k] = jnp.where(better, cand[k], best[k])
-    return out
-
-
 # --- ETC1 search ---------------------------------------------------------------
 
 def _padded_offsets():
@@ -205,19 +181,22 @@ def _test_half_block(packed, sector_pixels, sector_pw, modifiers,
     else:
         unquant = [(q << 4) | q for q in quant]
 
-    mods = jnp.asarray(modifiers)[None, :, None, :]  # [1,T,1,4]
-    modified = [jnp.clip(u[..., None] + mods, 0, 255) for u in unquant]
-    # modified[ch]: [N,T,C,4]
+    # Modifier axis OUTER (position 1): [N,4,T,C] keeps the TPU (8,128)
+    # register tiling on the trailing (T, C) dims; the previous [N,T,C,4]
+    # layout padded a 4-wide minor axis to 128 lanes (32x VREG waste).
+    mods = jnp.asarray(modifiers).T[None, :, :, None]  # [1,4,T,1]
+    modified = [jnp.clip(u[:, None, :, :] + mods, 0, 255) for u in unquant]
+    # modified[ch]: [N,4,T,C]
 
     selectors = None
     total_error = None
     for px in range(8):
         pix = [sector_pixels[px][ch][:, None, None, None] for ch in range(3)]
         pw = [sector_pw[px][ch][:, None, None, None] for ch in range(3)]
-        err = compute_error(modified, pix, pw, options)  # [N,T,C,4]
+        err = compute_error(modified, pix, pw, options)  # [N,4,T,C]
         # per-pixel best selector: strict-less, first wins == ordered argmin
-        sel = lanes.first_argmin(err, -1).astype(jnp.int32)
-        best = jnp.min(err, axis=-1)
+        sel = lanes.first_argmin(err, 1).astype(jnp.int32)
+        best = jnp.min(err, axis=1)
         total_error = best if total_error is None else total_error + best
         s = sel << (px * 2)
         selectors = s if selectors is None else selectors | s
@@ -334,118 +313,117 @@ def compress_etc1_internal(stage: StageBest, rank_base: int, pixels, pw,
 
 def _resolve_differential(diff_data, n, can_ignore=None):
     """Dense equivalent of FindBestDifferentialCombination (ETC.cpp:219-362):
-    lexicographic (total, err0, uidx0, err1, uidx1) argmin over legal pairs,
-    chunked by table pair. Returns per-sector winner payload dicts."""
-    a_count = diff_data[0]["error"].shape[1]
+    lexicographic (total, err0, uidx0, err1, uidx1) argmin over legal pairs.
+
+    Exactness-preserving reformulations vs the naive 64-table-pair grid
+    scan (each verified by the oracle golden tests):
+    - Within a row i (sector-0 candidate), the best legal partner j
+      minimizes (err1, uidx1) independently of err0: f32 addition is
+      monotone in each operand, so lex (e0[i]+e1[j], e1, u1) over j
+      equals lex (e1, u1); the winning total is then recomputed from
+      the same two operands (bit-identical sum).
+    - The 3-channel legality window (per-channel diff in (-5, 4)) is one
+      SWAR subtract on 10-bit packed fields: guard bit 9 per field makes
+      the subtraction borrow-proof (fields can never go negative), so
+      `(B - A) & mask == pattern` tests all three channels at once.
+    - Unique ranks strictly increase across table boundaries (the rank
+      cumsum flags every table's first entry as new), so equal
+      (u0) => same sector-0 table & color, equal (e1, u1) => same
+      sector-1 table & color, and any full-key tie carries an identical
+      payload: the reference's pair-ordered strict-improvement scan is
+      exactly one global lexicographic minimum.
+    """
+    e0 = diff_data[0]["error"]
+    e1 = diff_data[1]["error"]
+    c0 = diff_data[0]["color"]
+    c1 = diff_data[1]["color"]
+    u0 = diff_data[0]["urank"]
+    u1 = diff_data[1]["urank"]
+    a_count = e0.shape[1]
     per_table = a_count // 8
+    big = jnp.int32(2**30)
 
-    best = {
-        "key": (jnp.full((n,), INF, dtype=jnp.float32),
-                jnp.full((n,), INF, dtype=jnp.float32),
-                jnp.full((n,), 2**30, dtype=jnp.int32),
-                jnp.full((n,), INF, dtype=jnp.float32),
-                jnp.full((n,), 2**30, dtype=jnp.int32)),
-        "color0": jnp.zeros((n,), dtype=jnp.int32),
-        "color1": jnp.zeros((n,), dtype=jnp.int32),
-        "sel0": jnp.zeros((n,), dtype=jnp.int32),
-        "sel1": jnp.zeros((n,), dtype=jnp.int32),
-        "table0": jnp.zeros((n,), dtype=jnp.int32),
-        "table1": jnp.zeros((n,), dtype=jnp.int32),
-    }
+    unit = 1 | (1 << 10) | (1 << 20)
 
-    def legal(c0, c1):
-        ok = None
-        for sh in (0, 5, 10):
-            a = (c0 >> sh) & 31
-            b = (c1 >> sh) & 31
-            diff = b - a
-            this = (diff > -5) & (diff < 4)
-            ok = this if ok is None else ok & this
-        return ok
+    def swar_fields(c):
+        return (c & 31) | (((c >> 5) & 31) << 10) | (((c >> 10) & 31) << 20)
 
+    fields0 = swar_fields(c0)                              # [N,A]
+    # +4 bias centers the (-5, 4) window at [0, 7]; +512 guard per field
+    fields1 = swar_fields(c1) + jnp.int32(516 * unit)
+    swar_mask = jnp.int32(0x3F8 * unit)
+    swar_legal = jnp.int32(512 * unit)
+
+    ignore_any = None
+    if can_ignore is not None:
+        ignore_any = (can_ignore[0] | can_ignore[1])[:, None, None]
+
+    # packed (uidx1, j): u1 < a_count, so u1*a_count + j orders by
+    # (u1, j); j ties carry identical payloads (duplicate candidates).
+    jj = jnp.arange(a_count, dtype=jnp.int32)
+    u1j = u1 * a_count + jj[None, :]                       # [N,A]
+
+    # Per-row (sector-0 candidate) best legal partner, i-axis chunked by
+    # table to bound the fused [N, rows, A] grids.
+    mine1_rows = []
+    minuj_rows = []
     for t0 in range(8):
         s0 = slice(t0 * per_table, (t0 + 1) * per_table)
-        e0 = diff_data[0]["error"][:, s0]
-        c0 = diff_data[0]["color"][:, s0]
-        u0 = diff_data[0]["urank"][:, s0]
-        for t1 in range(8):
-            s1 = slice(t1 * per_table, (t1 + 1) * per_table)
-            e1 = diff_data[1]["error"][:, s1]
-            c1 = diff_data[1]["color"][:, s1]
-            u1 = diff_data[1]["urank"][:, s1]
+        diff = fields1[:, None, :] - fields0[:, s0][:, :, None]
+        ok = (diff & swar_mask) == swar_legal              # [N,rows,A]
+        if ignore_any is not None:
+            ok = ok | ignore_any
+        e1b = jnp.broadcast_to(e1[:, None, :], ok.shape)
+        mine1 = jnp.min(jnp.where(ok, e1b, INF), axis=-1)  # [N,rows]
+        tie = ok & (e1b == mine1[:, :, None])
+        minuj = jnp.min(jnp.where(tie, u1j[:, None, :], big), axis=-1)
+        mine1_rows.append(mine1)
+        minuj_rows.append(minuj)
 
-            ok = legal(c0[:, :, None], c1[:, None, :])
-            if can_ignore is not None:
-                ok = ok | can_ignore[0][:, None, None] \
-                    | can_ignore[1][:, None, None]
-            total = e0[:, :, None] + e1[:, None, :]
-            total = jnp.where(ok, total, INF)
+    mine1 = jnp.concatenate(mine1_rows, axis=1)            # [N,A]
+    minuj = jnp.concatenate(minuj_rows, axis=1)
+    total = e0 + mine1                                     # [N,A]
 
-            # Within-row-i selection over j: lexicographic
-            # (total, e1, u1) minimum (the reference's j scan is sorted by
-            # (err1, uidx1); for equal totals the smaller-e1 pair commits
-            # first and later equal-total pairs never strictly improve).
-            e1_b = jnp.broadcast_to(e1[:, None, :], total.shape)
-            u1_b = jnp.broadcast_to(u1[:, None, :], total.shape)
-            minj = jnp.min(total, axis=-1)
-            is_min = total == minj[:, :, None]
-            e1_masked = jnp.where(is_min, e1_b, INF)
-            mine1 = jnp.min(e1_masked, axis=-1)
-            is_min2 = is_min & (e1_b == mine1[:, :, None])
-            argj = lanes.first_argmin(jnp.where(is_min2, u1_b, 2**30), -1)
+    # Global lexicographic (total, e0, u0, e1, u1[,j]) minimum over rows;
+    # the earliest row among full ties (payload-identical, see docstring).
+    m = total == jnp.min(total, axis=-1)[:, None]
+    ke0 = jnp.min(jnp.where(m, e0, INF), axis=-1)
+    m = m & (e0 == ke0[:, None])
+    ku0 = jnp.min(jnp.where(m, u0, big), axis=-1)
+    m = m & (u0 == ku0[:, None])
+    ke1 = jnp.min(jnp.where(m, mine1, INF), axis=-1)
+    m = m & (mine1 == ke1[:, None])
+    kuj = jnp.min(jnp.where(m, minuj, big), axis=-1)
+    m = m & (minuj == kuj[:, None])
+    wini = jnp.min(jnp.where(m, jj[None, :], big), axis=-1)  # iota: no ties
+    wini = jnp.minimum(wini, a_count - 1)
 
-            def gj(x, argj=argj):
-                return jnp.take_along_axis(x, argj[:, :, None],
-                                           axis=2)[:, :, 0]
+    def g0(x):
+        return jnp.take_along_axis(x, wini[:, None], axis=1)[:, 0]
 
-            row = {
-                "total": minj,
-                "e1": gj(e1_b), "u1": gj(u1_b),
-                "c1": gj(jnp.broadcast_to(c1[:, None, :], total.shape)),
-                "s1": gj(jnp.broadcast_to(
-                    diff_data[1]["selectors"][:, s1][:, None, :],
-                    total.shape)),
-            }
-            # Across rows i: lexicographic (total, e0, u0, e1, u1) minimum.
-            mini = jnp.min(row["total"], axis=-1)
-            is_mi = row["total"] == mini[:, None]
-            e0m = jnp.where(is_mi, e0, INF)
-            mine0 = jnp.min(e0m, axis=-1)
-            is_mi = is_mi & (e0 == mine0[:, None])
-            u0m = jnp.where(is_mi, u0, 2**30)
-            minu0 = jnp.min(u0m, axis=-1)
-            is_mi = is_mi & (u0 == minu0[:, None])
-            e1m = jnp.where(is_mi, row["e1"], INF)
-            mine1i = jnp.min(e1m, axis=-1)
-            is_mi = is_mi & (row["e1"] == mine1i[:, None])
-            argi = lanes.first_argmin(jnp.where(is_mi, row["u1"], 2**30), -1)
+    win_total = g0(total)
+    valid = jnp.isfinite(win_total)
+    winj = jnp.where(valid, g0(minuj) % a_count, 0)
 
-            def gi(x, argi=argi):
-                return jnp.take_along_axis(x, argi[:, None], axis=1)[:, 0]
+    def g1(x):
+        return jnp.take_along_axis(x, winj[:, None], axis=1)[:, 0]
 
-            cand = {
-                "key": (gi(row["total"]), gi(e0), gi(u0),
-                        gi(row["e1"]), gi(row["u1"])),
-                "color0": gi(c0), "color1": gi(row["c1"]),
-                "sel0": gi(diff_data[0]["selectors"][:, s0]),
-                "sel1": gi(row["s1"]),
-                "table0": jnp.full((n,), t0, dtype=jnp.int32),
-                "table1": jnp.full((n,), t1, dtype=jnp.int32),
-                "valid": jnp.isfinite(gi(row["total"])),
-            }
-            best = _lex5_update(best, cand)
+    def vz(x):
+        return jnp.where(valid, x, 0)
 
-    total = best["key"][0]
+    color0 = vz(g0(c0))
+    color1 = vz(g1(c1))
+    sel0 = vz(g0(diff_data[0]["selectors"]))
+    sel1 = vz(g1(diff_data[1]["selectors"]))
+    table0 = vz(g0(diff_data[0]["table"]))
+    table1 = vz(g1(diff_data[1]["table"]))
+
     if can_ignore is not None:
         # ignored sector adopts the other sector's color (ETC.cpp:249-252)
-        best["color0"] = jnp.where(can_ignore[0], best["color1"],
-                                   best["color0"])
-        best["color1"] = jnp.where(can_ignore[1] & ~can_ignore[0],
-                                   best["color0"], best["color1"])
-    win0 = dict(total=total, color=best["color0"], selectors=best["sel0"],
-                table=best["table0"])
-    win1 = dict(color=best["color1"], selectors=best["sel1"],
-                table=best["table1"])
+        color0 = jnp.where(can_ignore[0], color1, color0)
+        color1 = jnp.where(can_ignore[1] & ~can_ignore[0], color0, color1)
+    win0 = dict(total=win_total, color=color0, selectors=sel0, table=table0)
+    win1 = dict(color=color1, selectors=sel1, table=table1)
     return [win0, win1]
 
 
