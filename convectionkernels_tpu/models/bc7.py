@@ -15,6 +15,9 @@ Float32 semantics follow the scalar reference build (see ops/lanes.py).
 
 from __future__ import annotations
 
+import os
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -25,104 +28,25 @@ from ..ops.refine import EndpointRefiner
 from ..options import Flags
 from ..tables import bc7_geometry as geom
 from ..tables import bc7_single_color
+from . import bc7_common
+from .bc7_common import (MAX_TWEAK_ROUNDS, MODE_INFO,  # noqa: F401
+                         compress_endpoints)
+from .bc7_common import quantize as _quantize
+from .bc7_common import quantize_p as _quantize_p
+from .bc7_common import unquantize as _unquantize
 
 INF = np.float32(np.inf)
 BIG_RANK = np.int32(2**30)
 
-# BC7ModeInfo (BC67.cpp:107-119): pbit mode (0=per-endpoint, 1=per-subset,
-# 2=none), alpha mode (0=combined, 1=separate, 2=none), rgbBits, alphaBits,
-# partitionBits, numSubsets, indexBits, alphaIndexBits, hasIndexSelector
-MODE_INFO = {
-    0: dict(pbit="per_ep", alpha="none", rgb_bits=4, alpha_bits=0,
-            partition_bits=4, num_subsets=3, index_bits=3, alpha_index_bits=0,
-            has_index_selector=False),
-    1: dict(pbit="per_subset", alpha="none", rgb_bits=6, alpha_bits=0,
-            partition_bits=6, num_subsets=2, index_bits=3, alpha_index_bits=0,
-            has_index_selector=False),
-    2: dict(pbit="none", alpha="none", rgb_bits=5, alpha_bits=0,
-            partition_bits=6, num_subsets=3, index_bits=2, alpha_index_bits=0,
-            has_index_selector=False),
-    3: dict(pbit="per_ep", alpha="none", rgb_bits=7, alpha_bits=0,
-            partition_bits=6, num_subsets=2, index_bits=2, alpha_index_bits=0,
-            has_index_selector=False),
-    4: dict(pbit="none", alpha="separate", rgb_bits=5, alpha_bits=6,
-            partition_bits=0, num_subsets=1, index_bits=2, alpha_index_bits=3,
-            has_index_selector=True),
-    5: dict(pbit="none", alpha="separate", rgb_bits=7, alpha_bits=8,
-            partition_bits=0, num_subsets=1, index_bits=2, alpha_index_bits=2,
-            has_index_selector=False),
-    6: dict(pbit="per_ep", alpha="combined", rgb_bits=7, alpha_bits=7,
-            partition_bits=0, num_subsets=1, index_bits=4, alpha_index_bits=0,
-            has_index_selector=False),
-    7: dict(pbit="per_ep", alpha="combined", rgb_bits=5, alpha_bits=5,
-            partition_bits=6, num_subsets=2, index_bits=2, alpha_index_bits=0,
-            has_index_selector=False),
-}
 
-MAX_TWEAK_ROUNDS = 4  # BC67.h:40
-
-
-# --- Endpoint quantization (BC67.cpp:827-938) -------------------------------
-
-def _quantize(color, bits: int, channels: int):
-    """Quantize (BC67.cpp:827-831)."""
-    return [((color[ch] << bits) - color[ch] + (127 + (1 << (7 - bits)))) >> 8
-            if ch < channels else color[ch] for ch in range(len(color))]
-
-
-def _quantize_p(color, bits: int, p, channels: int):
-    """QuantizeP (BC67.cpp:833-849). `p` may be an int or a [P] array."""
-    p_arr = jnp.asarray(p, dtype=jnp.int32)
-    addend = jnp.where(p_arr != 0, (1 << (8 - bits)) - 1, 255)
-    out = []
-    for ch in range(len(color)):
-        if ch < channels:
-            c = ((color[ch] << (bits + 1)) - color[ch] + addend) >> 9
-            out.append((c << 1) | p_arr)
-        else:
-            out.append(color[ch])
-    return out
-
-
-def _unquantize(color, bits: int, channels: int):
-    """Unquantize (BC67.cpp:851-859)."""
-    out = []
-    for ch in range(len(color)):
-        if ch < channels:
-            c = color[ch] << (8 - bits)
-            out.append(c | (c >> bits))
-        else:
-            out.append(color[ch])
-    return out
-
-
-def compress_endpoints(mode: int, ep, p0, p1, full255):
-    """CompressEndpoints0..7 for 4-channel single-plane modes
-    (BC67.cpp:861-906, 925-938). ep = [ep0_chs, ep1_chs], p0/p1 [P] arrays.
-    """
-    out = []
-    for j, p in ((0, p0), (1, p1)):
-        chs = list(ep[j])
-        if mode == 0:
-            chs = _unquantize(_quantize_p(chs, 4, p, 3), 5, 3)
-            chs[3] = full255
-        elif mode == 1:
-            chs = _unquantize(_quantize_p(chs, 6, p0, 3), 7, 3)  # per-subset p
-            chs[3] = full255
-        elif mode == 2:
-            chs = _unquantize(_quantize(chs, 5, 3), 5, 3)
-            chs[3] = full255
-        elif mode == 3:
-            chs = _quantize_p(chs, 7, p, 3)
-            chs[3] = full255
-        elif mode == 6:
-            chs = _quantize_p(chs, 7, p, 4)
-        elif mode == 7:
-            chs = _unquantize(_quantize_p(chs, 5, p, 4), 6, 4)
-        else:
-            raise ValueError(mode)
-        out.append(chs)
-    return out
+def _use_pallas_kernel() -> bool:
+    """Whether the single-plane search runs as the Pallas TPU mega-kernel
+    (bc7_kernel.py). Default: on for TPU backends, off for CPU (where the
+    kernel would run interpreted). CONVECTION_BC7_KERNEL=0/1 overrides."""
+    env = os.environ.get("CONVECTION_BC7_KERNEL")
+    if env is not None:
+        return env != "0"
+    return jax.default_backend() in ("tpu", "axon")
 
 
 # --- Lexicographic best tracking ---------------------------------------------
@@ -200,6 +124,214 @@ def _shape_pca(pw_pixels, shape_ids, nch: int, channel_weights):
                              channel_weights, nch)
 
 
+def _single_plane_grid_best(mode, n, float_pixels, pixels, pw_pixels,
+                            base, offset, seeds, c_t, c_p, pti_c, p0c, p1c,
+                            cw, cfg, base_rank_c, num_refine_rounds,
+                            s_count, c_count,
+                            static_alpha_error_rgb, cols, is_rgb, masks):
+    """XLA-graph candidate evaluation over the [N,C,S] grid (the non-Pallas
+    path; same arithmetic as bc7_kernel._kernel_body)."""
+    index_range = cfg["index_range"]
+    num_real_channels = cfg["num_real_channels"]
+    t_count = MAX_TWEAK_ROUNDS
+
+    f0s = np.zeros(t_count, dtype=np.float32)
+    f1s = np.zeros(t_count, dtype=np.float32)
+    for t in range(t_count):
+        f0s[t], f1s[t] = lanes.compute_tweak_factors(t, index_range)
+    f0c = jnp.asarray(f0s[c_t])[None, :, None]  # [1,C,1]
+    f1c = jnp.asarray(f1s[c_t])[None, :, None]
+
+    tweak_ep = [[], []]  # [epi][ch] -> [N,C,S]
+    for ch in range(4):
+        if is_rgb and ch == 3:
+            e0 = jnp.full((n, c_count, s_count), 255, dtype=jnp.int32)
+            e1 = e0
+        else:
+            b = base[ch][:, None, :]
+            o = offset[ch][:, None, :]
+            e0 = lanes.round_and_convert_to_int_nearest(
+                lanes.clamp(b + o * f0c, 0.0, 255.0))
+            e1 = lanes.round_and_convert_to_int_nearest(
+                lanes.clamp(b + o * f1c, 0.0, 255.0))
+        tweak_ep[0].append(e0)
+        tweak_ep[1].append(e1)
+
+    # static candidate validity: tweak t valid iff t < seeds[shape]
+    cand_valid = (c_t[:, None] < seeds[None, :])  # [C,S]
+
+    best = LexBest.empty((n, s_count), {"ep": (2, 4)})
+    full255 = jnp.full((n, c_count, s_count), 255, dtype=jnp.int32)
+    ep_state = [[tweak_ep[epi][ch] for ch in range(4)] for epi in range(2)]
+    member_b = [jnp.asarray(masks[:, px][None, None, :]) for px in range(16)]
+    fp_b = [[float_pixels[px][ch][:, None, None] for ch in range(4)]
+            for px in range(16)]
+    ip_b = [[pixels[px][ch][:, None, None] for ch in range(4)]
+            for px in range(16)]
+    pwp_b = [[pw_pixels[px][ch][:, None, None] for ch in range(4)]
+             for px in range(16)]
+    zero_ncs = jnp.zeros((n, c_count, s_count), dtype=jnp.float32)
+
+    flat_order = np.argsort(base_rank_c, kind="stable")
+    rank_sorted = jnp.asarray(base_rank_c[flat_order])
+
+    for refine in range(num_refine_rounds):
+        compressed = compress_endpoints(mode, ep_state, p0c, p1c, full255)
+        selector = IndexSelector(cw, compressed, index_range, 4)
+        refiner = (EndpointRefiner(zero_ncs, 4, index_range, cw)
+                   if refine != num_refine_rounds - 1 else None)
+
+        shape_error, _ = bc7_common.accumulate_error(
+            selector, zero_ncs, member_b, fp_b, ip_b, cfg,
+            with_refiner=refiner, pwps=pwp_b)
+
+        if is_rgb:
+            shape_error = shape_error + jnp.take(
+                static_alpha_error_rgb, cols, axis=1)[:, None, :]
+
+        # invalid candidates: tweak beyond seeds, or punchthrough-invalid
+        invalid = jnp.asarray(~cand_valid)[None, :, :] | pti_c
+        cand_error = jnp.where(invalid, INF, shape_error)
+
+        # first-occurrence argmin in visitation-rank order over C
+        cand_ord = cand_error[:, flat_order, :]
+        win = lanes.first_argmin(cand_ord, 1)       # [N,S]
+        min_err = jnp.take_along_axis(cand_ord, win[:, None, :],
+                                      axis=1)[:, 0, :]
+        win_rank = (jnp.take(rank_sorted, win) * num_refine_rounds
+                    + refine).astype(jnp.int32)
+
+        def gather_c(arr):
+            return jnp.take_along_axis(arr[:, flat_order, :],
+                                       win[:, None, :], axis=1)[:, 0, :]
+
+        win_ep = [[gather_c(compressed[epi][ch]) for ch in range(4)]
+                  for epi in range(2)]
+        payload = {
+            "ep": jnp.stack(
+                [jnp.stack([win_ep[epi][ch] for ch in range(4)], axis=-1)
+                 for epi in range(2)], axis=-2),
+        }
+        best.update(min_err, win_rank, payload)
+
+        if refiner is not None:
+            r0, r1 = refiner.get_refined_endpoints_ldr(num_real_channels)
+            for ch in range(num_real_channels):
+                ep_state[0][ch] = r0[ch]
+                ep_state[1][ch] = r1[ch]
+    return best
+
+
+def _single_plane_kernel_best(mode, n, pixels, base, offset, seeds,
+                              parity_max, alpha_s, pti_arr, masks, cfg, cw,
+                              num_refine_rounds, s_count, is_rgb):
+    """Pallas TPU kernel path.
+
+    Packs exactly the plan-valid (shape, tweak, parity) candidates into
+    one K axis (the reference's per-shape seed pruning, BC67.cpp:1265-1279),
+    runs bc7_kernel.single_plane_mode_best for the refine loop, then
+    reduces per-candidate winners to per-shape winners with static
+    gathers + the LexBest rule (ranks make merge order irrelevant)."""
+    from . import bc7_kernel
+
+    t_count = MAX_TWEAK_ROUNDS
+    index_range = cfg["index_range"]
+
+    # static packed candidate table, shape-major
+    s_list, t_list, p_list = [], [], []
+    counts = np.zeros(s_count, dtype=np.int32)
+    for s in range(s_count):
+        n_t = min(int(seeds[s]), t_count)
+        counts[s] = parity_max * n_t
+        for p in range(parity_max):
+            for t in range(n_t):
+                s_list.append(s)
+                t_list.append(t)
+                p_list.append(p)
+    k_real = len(s_list)
+    k_len = max(-(-k_real // 128) * 128, 128)
+    pad = k_len - k_real
+    s_of_k = np.asarray(s_list + [0] * pad, dtype=np.int32)
+    t_of_k = np.asarray(t_list + [0] * pad, dtype=np.int32)
+    p_of_k = np.asarray(p_list + [0] * pad, dtype=np.int32)
+    pad_mask = np.arange(k_len) >= k_real
+
+    # tweak factors per candidate
+    f0 = np.zeros(k_len, dtype=np.float32)
+    f1 = np.zeros(k_len, dtype=np.float32)
+    for t in range(t_count):
+        ff0, ff1 = lanes.compute_tweak_factors(t, index_range)
+        f0[t_of_k == t] = ff0
+        f1[t_of_k == t] = ff1
+
+    s_idx = jnp.asarray(s_of_k)
+    ep_init = [[], []]
+    for ch in range(4):
+        if is_rgb and ch == 3:
+            e0 = jnp.full((n, k_len), 255, dtype=jnp.int32)
+            e1 = e0
+        else:
+            b = jnp.take(base[ch], s_idx, axis=1)
+            o = jnp.take(offset[ch], s_idx, axis=1)
+            e0 = lanes.round_and_convert_to_int_nearest(
+                lanes.clamp(b + o * jnp.asarray(f0)[None, :], 0.0, 255.0))
+            e1 = lanes.round_and_convert_to_int_nearest(
+                lanes.clamp(b + o * jnp.asarray(f1)[None, :], 0.0, 255.0))
+        ep_init[0].append(e0)
+        ep_init[1].append(e1)
+
+    # per-candidate static alpha error; +inf encodes invalid (padding and
+    # punchthrough-invalid parities) so the kernel needs no separate mask
+    if alpha_s is None:
+        alpha_k = jnp.zeros((n, k_len), dtype=jnp.float32)
+    else:
+        alpha_k = jnp.take(alpha_s, s_idx, axis=1)
+    pti_k = jnp.take(pti_arr, jnp.asarray(p_of_k), axis=1)
+    alpha_k = jnp.where(pti_k | jnp.asarray(pad_mask)[None, :], INF,
+                        alpha_k)
+
+    consts = np.zeros((19, k_len), dtype=np.int32)
+    consts[0] = p_of_k & 1
+    consts[1] = (p_of_k >> 1) & 1
+    for px in range(16):
+        consts[2 + px] = masks[s_of_k, px]
+    consts[18] = (p_of_k * t_count + t_of_k).astype(np.int32)
+
+    pix_flat = jnp.stack(
+        [pixels[px][ch] for px in range(16) for ch in range(4)], axis=-1)
+
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    err, rank, ep8 = bc7_kernel.single_plane_mode_best(
+        mode, pix_flat, ep_init, alpha_k, consts, cfg, cw,
+        num_refine_rounds, interpret=interpret)
+
+    # per-shape winner: LexBest over each shape's (static) candidate slots
+    c_max = int(counts.max()) if s_count else 0
+    cand_of_shape = np.zeros((s_count, c_max), dtype=np.int32)
+    valid_np = np.zeros((s_count, c_max), dtype=bool)
+    pos = 0
+    for s in range(s_count):
+        c = int(counts[s])
+        cand_of_shape[s, :c] = np.arange(pos, pos + c)
+        valid_np[s, :c] = True
+        pos += c
+
+    best = LexBest.empty((n, s_count), {"ep": (2, 4)})
+    for j in range(c_max):
+        k_idx = jnp.asarray(cand_of_shape[:, j])
+        vm = jnp.asarray(valid_np[:, j])[None, :]
+        err_j = jnp.where(vm, jnp.take(err, k_idx, axis=1), INF)
+        rank_j = jnp.take(rank, k_idx, axis=1)
+        ep_j = jnp.stack(
+            [jnp.stack(
+                [jnp.take(ep8[:, (e * 4 + c2) * k_len:
+                              (e * 4 + c2 + 1) * k_len], k_idx, axis=1)
+                 for c2 in range(4)], axis=-1)
+             for e in range(2)], axis=-2)  # [N, S, 2, 4]
+        best.update(err_j, rank_j, {"ep": ep_j})
+    return best
+
+
 def try_single_plane(pixels, float_pixels, pw_pixels, channel_weights, flags,
                      plan: BC7EncodingPlan, num_refine_rounds: int,
                      alpha_info: dict):
@@ -219,6 +351,12 @@ def try_single_plane(pixels, float_pixels, pw_pixels, channel_weights, flags,
     uniform = bool(flags & Flags.UNIFORM)
     try_single_color = bool(flags & Flags.BC7_TRY_SINGLE_COLOR)
     respect_punch_through = bool(flags & Flags.BC7_RESPECT_PUNCH_THROUGH)
+
+    if _use_pallas_kernel():
+        from . import bc7_kernel
+        use_kernel = n % bc7_kernel.NB == 0
+    else:
+        use_kernel = False
 
     # --- Initial per-shape endpoints (BC67.cpp:1085-1144) ---
     rgb_ids = np.asarray(plan.rgb_shape_list, dtype=np.int32)
@@ -319,42 +457,15 @@ def try_single_plane(pixels, float_pixels, pw_pixels, channel_weights, flags,
         base = [jnp.take(b, cols, axis=1) for b in src_base]
         offset = [jnp.take(o, cols, axis=1) for o in src_offset]
 
-        # Candidate axis layout: all (tweak, parity) combinations are ONE
-        # axis C of size T*P placed as the SECOND-minor dim, with shapes S
-        # minor: arrays are [N, C, S]. On TPU the minor two dims map to the
-        # (8,128)-tiled registers, so [N, 16, 128-ish] has (near-)zero
-        # layout padding, where the round-1 [N,S,T,P] layout padded the
-        # trailing (4,4) dims to (8,128) — a 64x HBM blowup that dominated
-        # the encode time. c = t*P + p.
+        # Candidate axis layout (grid path): all (tweak, parity)
+        # combinations are ONE axis C of size T*P as the second-minor dim,
+        # with shapes S minor: arrays are [N, C, S]. c = t*P + p. The
+        # kernel path packs plan-valid candidates instead (see
+        # _single_plane_kernel_best).
         t_count = MAX_TWEAK_ROUNDS
         c_count = t_count * parity_max
         c_t = np.arange(c_count) // parity_max   # tweak index per candidate
         c_p = np.arange(c_count) % parity_max    # parity index per candidate
-
-        f0s = np.zeros(t_count, dtype=np.float32)
-        f1s = np.zeros(t_count, dtype=np.float32)
-        for t in range(t_count):
-            f0s[t], f1s[t] = lanes.compute_tweak_factors(t, index_range)
-        f0c = jnp.asarray(f0s[c_t])[None, :, None]  # [1,C,1]
-        f1c = jnp.asarray(f1s[c_t])[None, :, None]
-
-        tweak_ep = [[], []]  # [epi][ch] -> [N,C,S]
-        for ch in range(4):
-            if is_rgb and ch == 3:
-                e0 = jnp.full((n, c_count, s_count), 255, dtype=jnp.int32)
-                e1 = e0
-            else:
-                b = base[ch][:, None, :]
-                o = offset[ch][:, None, :]
-                e0 = lanes.round_and_convert_to_int_nearest(
-                    lanes.clamp(b + o * f0c, 0.0, 255.0))
-                e1 = lanes.round_and_convert_to_int_nearest(
-                    lanes.clamp(b + o * f1c, 0.0, 255.0))
-            tweak_ep[0].append(e0)
-            tweak_ep[1].append(e1)
-
-        # static candidate validity: tweak t valid iff t < seeds[shape]
-        cand_valid = (c_t[:, None] < seeds[None, :])  # [C,S]
 
         # punchthrough invalidations per parity (BC67.cpp:1281-1303)
         pti = []  # [P] of [N] bool
@@ -374,159 +485,40 @@ def try_single_plane(pixels, float_pixels, pw_pixels, channel_weights, flags,
         p0c = jnp.asarray((c_p & 1).astype(np.int32))[:, None]        # [C,1]
         p1c = jnp.asarray(((c_p >> 1) & 1).astype(np.int32))[:, None]
 
-        # --- candidate evaluation over C x refine rounds ---
-        best = LexBest.empty((n, s_count), {
-            "ep": (2, 4),
-            "idx": (16,),
-        })
-
-        full255 = jnp.full((n, c_count, s_count), 255, dtype=jnp.int32)
-        ep_state = [[tweak_ep[epi][ch] for ch in range(4)]
-                    for epi in range(2)]
-
-        member_b = [jnp.asarray(masks[:, px][None, None, :])
-                    for px in range(16)]
-        member_s = [jnp.asarray(masks[:, px][None, :]) for px in range(16)]
-        fp_b = [[float_pixels[px][ch][:, None, None] for ch in range(4)]
-                for px in range(16)]
-        ip_b = [[pixels[px][ch][:, None, None] for ch in range(4)]
-                for px in range(16)]
-        pwp_b = [[pw_pixels[px][ch][:, None, None] for ch in range(4)]
-                 for px in range(16)]
-        fp_s = [[float_pixels[px][ch][:, None] for ch in range(4)]
-                for px in range(16)]
-        ip_s = [[pixels[px][ch][:, None] for ch in range(4)]
-                for px in range(16)]
-
-        zero_ncs = jnp.zeros((n, c_count, s_count), dtype=jnp.float32)
+        cfg = dict(fast_indexing=fast_indexing, uniform=uniform, cw_sq=cw_sq,
+                   num_real_channels=num_real_channels,
+                   index_range=index_range)
 
         def accumulate_error(selector, shape_like, members, fps, ips,
                              with_refiner=None, pwps=None, keep_indexes=False):
-            """One pass over the 16 pixels: select (+/-1 retest when slow
-            indexing), accumulate weighted error, optionally feed the
-            refiner. Shared by the full candidate grid ([N,C,S]) and the
-            winner-recompute ([N,S]) paths — identical arithmetic."""
-            shape_error = jnp.zeros_like(shape_like)
-            agg = [jnp.zeros(shape_like.shape, dtype=jnp.int32)
-                   for _ in range(4)]
-            indexes = []
-            for px in range(16):
-                index = selector.select_index_ldr(fps[px])
-                if fast_indexing:
-                    recon = selector.reconstruct_ldr_bc7(index,
-                                                         num_real_channels)
-                    for ch in range(num_real_channels):
-                        agg[ch] = agg[ch] + jnp.where(
-                            members[px],
-                            lanes.sq_diff_int(recon[ch], ips[px][ch]), 0)
-                else:
-                    def px_error(idx_val, px=px):
-                        rec = selector.reconstruct_ldr_bc7(idx_val,
-                                                           num_real_channels)
-                        errs = [lanes.sq_diff_int(rec[ch], ips[px][ch])
-                                for ch in range(num_real_channels)]
-                        if uniform:
-                            tot = errs[0]
-                            for e in errs[1:]:
-                                tot = tot + e
-                            return lanes.to_float(tot)
-                        tot = lanes.to_float(errs[0]) * cw_sq[0]
-                        for ch in range(1, num_real_channels):
-                            tot = tot + lanes.to_float(errs[ch]) * cw_sq[ch]
-                        return tot
-
-                    error = px_error(index)
-                    alt0 = jnp.maximum(index, 1) - 1
-                    alt1 = jnp.minimum(index + 1, index_range - 1)
-                    for alt in (alt0, alt1):
-                        alt_error = px_error(alt)
-                        better = alt_error < error
-                        error = jnp.minimum(error, alt_error)
-                        index = jnp.where(better, alt, index)
-                    shape_error = shape_error + jnp.where(
-                        members[px], error, np.float32(0.0))
-
-                if with_refiner is not None:
-                    with_refiner.contribute_unweighted_pw(
-                        [pwps[px][ch] for ch in range(4)], index,
-                        num_real_channels, mask=members[px])
-                if keep_indexes:
-                    indexes.append(index)
-
-            if fast_indexing:
-                if uniform:
-                    tot = agg[0]
-                    for e in agg[1:]:
-                        tot = tot + e
-                    shape_error = lanes.to_float(tot)
-                else:
-                    shape_error = lanes.to_float(agg[0]) * cw_sq[0]
-                    for ch in range(1, 4):
-                        shape_error = shape_error + lanes.to_float(
-                            agg[ch]) * cw_sq[ch]
-            return shape_error, indexes
+            return bc7_common.accumulate_error(
+                selector, shape_like, members, fps, ips, cfg,
+                with_refiner=with_refiner, pwps=pwps,
+                keep_indexes=keep_indexes)
 
         # visitation rank (p-major, then tweak, then refine): rank_c = p*T+t
         base_rank_c = (c_p * t_count + c_t).astype(np.int32)  # [C]
-        flat_order = np.argsort(base_rank_c, kind="stable")
-        rank_sorted = jnp.asarray(base_rank_c[flat_order])
 
-        for refine in range(num_refine_rounds):
-            compressed = compress_endpoints(mode, ep_state, p0c, p1c,
-                                            full255)
-
-            selector = IndexSelector(cw, compressed, index_range, 4)
-            refiner = (EndpointRefiner(zero_ncs, 4, index_range, cw)
-                       if refine != num_refine_rounds - 1 else None)
-
-            shape_error, _ = accumulate_error(
-                selector, zero_ncs, member_b, fp_b, ip_b,
-                with_refiner=refiner, pwps=pwp_b)
-
-            if is_rgb:
-                shape_error = shape_error + jnp.take(
-                    static_alpha_error_rgb, cols, axis=1)[:, None, :]
-
-            # invalid candidates: tweak beyond seeds, or punchthrough-invalid
-            invalid = jnp.asarray(~cand_valid)[None, :, :] | pti_c
-            cand_error = jnp.where(invalid, INF, shape_error)
-
-            # first-occurrence argmin in visitation-rank order over C
-            cand_ord = cand_error[:, flat_order, :]
-            win = lanes.first_argmin(cand_ord, 1)       # [N,S]
-            min_err = jnp.take_along_axis(cand_ord, win[:, None, :],
-                                          axis=1)[:, 0, :]
-            win_rank = (jnp.take(rank_sorted, win) * num_refine_rounds
-                        + refine).astype(jnp.int32)
-
-            def gather_c(arr):
-                return jnp.take_along_axis(arr[:, flat_order, :],
-                                           win[:, None, :], axis=1)[:, 0, :]
-
-            win_ep = [[gather_c(compressed[epi][ch]) for ch in range(4)]
-                      for epi in range(2)]
-
-            # Recompute the winner's 16 pixel indexes on the small [N,S]
-            # arrays instead of materializing 16 full [N,C,S] index planes
-            # (identical arithmetic on the gathered endpoints).
-            sel_win = IndexSelector(cw, win_ep, index_range, 4)
-            _, win_indexes = accumulate_error(
-                sel_win, min_err, member_s, fp_s, ip_s, keep_indexes=True)
-
-            payload = {
-                "ep": jnp.stack(
-                    [jnp.stack([win_ep[epi][ch] for ch in range(4)], axis=-1)
-                     for epi in range(2)], axis=-2),
-                "idx": jnp.stack(win_indexes, axis=-1),
-            }
-
-            best.update(min_err, win_rank, payload)
-
-            if refiner is not None:
-                r0, r1 = refiner.get_refined_endpoints_ldr(num_real_channels)
-                for ch in range(num_real_channels):
-                    ep_state[0][ch] = r0[ch]
-                    ep_state[1][ch] = r1[ch]
+        # --- candidate evaluation over C x refine rounds ---
+        # The LexBest payload carries only the winning endpoints: the
+        # winner's 16 pixel indexes are a pure function of (endpoints,
+        # pixels, mode constants), so they are recomputed ONCE per subset
+        # after partition combine on [N]-sized arrays instead of
+        # materializing [N,S,16] index planes every refine round
+        # (identical arithmetic; BC67.cpp:1346-1363).
+        if use_kernel:
+            alpha_s = (jnp.take(static_alpha_error_rgb, cols, axis=1)
+                       if is_rgb else None)
+            best = _single_plane_kernel_best(
+                mode, n, pixels, base, offset, seeds, parity_max, alpha_s,
+                pti_arr, masks, cfg, cw, num_refine_rounds, s_count,
+                is_rgb)
+        else:
+            best = _single_plane_grid_best(
+                mode, n, float_pixels, pixels, pw_pixels, base, offset,
+                seeds, c_t, c_p, pti_c, p0c, p1c, cw, cfg, base_rank_c,
+                num_refine_rounds, s_count, c_count,
+                static_alpha_error_rgb, cols, is_rgb, masks)
 
         # --- TrySingleColor (BC67.cpp:1435-1569) ---
         if try_single_color:
@@ -539,6 +531,33 @@ def try_single_plane(pixels, float_pixels, pw_pixels, channel_weights, flags,
         winner = _combine_partitions(
             mode, mode_pos, best, shape_ids, plan, n, has_alpha, allow_rgb)
         if winner is not None:
+            # Recompute the winner's pixel indexes from its endpoints: one
+            # [N]-sized selector pass per subset (<=3), replacing the
+            # [N,S,16] per-round index payload (identical arithmetic).
+            owner = winner.pop("owner")
+            fp_n = [[float_pixels[px][ch] for ch in range(4)]
+                    for px in range(16)]
+            ip_n = [[pixels[px][ch] for ch in range(4)] for px in range(16)]
+            ones_n = [jnp.ones((n,), dtype=bool)] * 16
+            zero_n = jnp.zeros((n,), dtype=jnp.float32)
+            idx_by_subset = []
+            for subset in range(num_subsets):
+                sub_ep = [[winner["ep"][subset][epi][ch] for ch in range(4)]
+                          for epi in range(2)]
+                sel = IndexSelector(cw, sub_ep, index_range, 4)
+                _, sub_idx = accumulate_error(
+                    sel, zero_n, ones_n, fp_n, ip_n, keep_indexes=True)
+                idx_by_subset.append(sub_idx)
+            indexes = []
+            for px in range(16):
+                if num_subsets == 1:
+                    indexes.append(idx_by_subset[0][px])
+                else:
+                    stack = jnp.stack([idx_by_subset[s][px]
+                                       for s in range(num_subsets)], axis=-1)
+                    indexes.append(jnp.take_along_axis(
+                        stack, owner[px][:, None], axis=1)[:, 0])
+            winner["indexes"] = indexes
             mode_winners.append(winner)
 
     return mode_winners
@@ -591,11 +610,14 @@ def _try_single_color(mode, best, pixels, cw_sq, uniform, shape_ids, masks,
     if is_rgb:
         error = error + jnp.take(static_alpha_error_rgb, rgb_cols, axis=1)
 
-    # single-color candidates come after all tweak/parity candidates
+    # single-color candidates come after all tweak/parity candidates.
+    # No index payload: black ep0==ep1 endpoints make the post-combine
+    # index recompute a degenerate axis (len_sq==0 -> axis 0 -> index 0,
+    # and +-1 retests reconstruct the same color), reproducing the
+    # reference's index 0 (BC67.cpp:951-961).
     payload = {
         "ep": jnp.stack([jnp.stack([eps[epi][ch] for ch in range(4)],
                                    axis=-1) for epi in range(2)], axis=-2),
-        "idx": jnp.stack([index] * 16, axis=-1),
     }
     rank = jnp.full((n, s_count), BIG_RANK - 1, dtype=jnp.int32)
     best.update(error, rank, payload)
@@ -699,20 +721,9 @@ def _combine_partitions(mode, mode_pos, best, shape_ids, plan, n, has_alpha,
         owner = [((pmap >> (2 * px)) & 3).astype(jnp.int32)
                  for px in range(16)]
 
-    indexes = []
-    for px in range(16):
-        if num_subsets == 1:
-            col = cols_per_subset[0]
-        else:
-            subset_cols = jnp.stack(cols_per_subset, axis=-1)  # [N, subsets]
-            col = jnp.take_along_axis(subset_cols, owner[px][:, None],
-                                      axis=1)[:, 0]
-        indexes.append(jnp.take_along_axis(
-            best.payload["idx"][:, :, px], col[:, None], axis=1)[:, 0])
-
     rank = mode_pos * 64 + win_part
     return dict(mode=mode, error=err, rank=rank, partition=win_part, ep=ep,
-                indexes=indexes)
+                owner=owner)
 
 
 # --- Dual-plane search (modes 4/5) -------------------------------------------

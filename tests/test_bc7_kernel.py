@@ -1,0 +1,52 @@
+"""BC7 Pallas kernel path vs XLA graph path byte-equality.
+
+The kernel (models/bc7_kernel.py) and the graph path trace the same
+helper functions, so they must agree bit-for-bit. On CPU the kernel runs
+in Pallas interpret mode (slow), so the corpus is small and the plan
+light; the oracle goldens in test_bc7.py cover the kernel path natively
+whenever the suite runs on a TPU backend.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from convectionkernels_tpu import Options
+from convectionkernels_tpu.bc7_plan import plan_from_quality
+from convectionkernels_tpu.models import bc7
+
+
+def _mixed_blocks(n, seed=3):
+    rng = np.random.default_rng(seed)
+    c0 = rng.integers(0, 256, size=(n, 1, 4)).astype(np.float32)
+    c1 = rng.integers(0, 256, size=(n, 1, 4)).astype(np.float32)
+    t = rng.random((n, 16, 1), dtype=np.float32)
+    noise = rng.integers(-8, 9, size=(n, 16, 4)).astype(np.float32)
+    px = np.clip(c0 + (c1 - c0) * t + noise, 0, 255).astype(np.uint8)
+    px[: n // 2, ..., 3] = 255
+    px[n // 2:, ..., 3] = rng.integers(0, 256, (n - n // 2, 16))
+    return px
+
+
+def test_kernel_matches_graph_q5():
+    px = _mixed_blocks(16)
+    opt = Options()
+    plan = plan_from_quality(5)
+    cw = opt.channel_weights()
+
+    prev = os.environ.get("CONVECTION_BC7_KERNEL")
+    try:
+        os.environ["CONVECTION_BC7_KERNEL"] = "0"
+        graph = np.asarray(bc7.pack(px, opt.flags, cw, plan,
+                                    opt.refine_rounds_bc7))
+        os.environ["CONVECTION_BC7_KERNEL"] = "1"
+        kernel = np.asarray(bc7.pack(px, opt.flags, cw, plan,
+                                     opt.refine_rounds_bc7))
+    finally:
+        if prev is None:
+            os.environ.pop("CONVECTION_BC7_KERNEL", None)
+        else:
+            os.environ["CONVECTION_BC7_KERNEL"] = prev
+
+    np.testing.assert_array_equal(graph, kernel)
