@@ -91,13 +91,24 @@ def _ordered_argmin(error, rank_axis_is_ordered=True):
     lanes.first_argmin — jnp.argmin's documented first-occurrence tie
     rule is not honored by every XLA:TPU reduce lowering."""
     idx = lanes.first_argmin(error, -1)
-    err = jnp.take_along_axis(error, idx[..., None], axis=-1)[..., 0]
+    err = jnp.min(error, axis=-1)  # == error[..., idx], no gather needed
     return err, idx
 
 
 def _gather_last(arr, idx):
-    """take_along_axis over the candidate (last) axis with [N, S] idx."""
-    return jnp.take_along_axis(arr, idx[..., None], axis=-1)[..., 0]
+    """Select arr[..., idx] over a small static last axis.
+
+    XLA:TPU lowers per-element take_along_axis to a serial gather
+    (~40 us per call measured); for the <=8-wide candidate axes used
+    here a where-chain is pure VPU work and an order of magnitude
+    cheaper. Falls back to gather for wide axes."""
+    t = arr.shape[-1]
+    if t > 8:
+        return jnp.take_along_axis(arr, idx[..., None], axis=-1)[..., 0]
+    out = arr[..., 0]
+    for j in range(1, t):
+        out = jnp.where(idx == j, arr[..., j], out)
+    return out
 
 
 # --- Single-plane search ------------------------------------------------------
@@ -362,8 +373,21 @@ def try_single_plane(pixels, float_pixels, pw_pixels, channel_weights, flags,
     rgb_ids = np.asarray(plan.rgb_shape_list, dtype=np.int32)
     rgba_ids = np.asarray(plan.rgba_shape_list, dtype=np.int32)
 
-    rgb_base, rgb_offset = _shape_pca(pw_pixels, rgb_ids, 3, cw)
-    rgba4_base, rgba4_offset = _shape_pca(pw_pixels, rgba_ids, 4, cw)
+    if use_kernel:
+        from . import bc7_kernel
+        interp = jax.default_backend() not in ("tpu", "axon")
+        pix_flat64 = jnp.stack(
+            [pixels[px][ch] for px in range(16) for ch in range(4)],
+            axis=-1)
+        rgb_base, rgb_offset, static_alpha_error_rgb = bc7_kernel.shape_pca(
+            pix_flat64, geom.shape_masks()[rgb_ids], 3, cw, uniform, True,
+            interpret=interp)
+        rgba4_base, rgba4_offset = bc7_kernel.shape_pca(
+            pix_flat64, geom.shape_masks()[rgba_ids], 4, cw, uniform,
+            False, interpret=interp)
+    else:
+        rgb_base, rgb_offset = _shape_pca(pw_pixels, rgb_ids, 3, cw)
+        rgba4_base, rgba4_offset = _shape_pca(pw_pixels, rgba_ids, 4, cw)
 
     # RGBA endpoints: per lane, PCA4 when hasAlpha || !allowRGB, else
     # ExpandTo<4>(255) of the RGB line (BC67.cpp:1117-1143)
@@ -392,18 +416,20 @@ def try_single_plane(pixels, float_pixels, pw_pixels, channel_weights, flags,
         rgba_offset.append(jnp.where(use_pca4, rgba4_offset[ch], exp_o))
 
     # Static alpha error per RGB shape (BC67.cpp:1250-1263): sum over member
-    # pixels of (255 - alpha)^2, then weighted finalize. Zero for opaque lanes.
-    masks_rgb = geom.shape_masks()[rgb_ids]  # [S,16]
-    alpha_agg = jnp.zeros((n, len(rgb_ids)), dtype=jnp.int32)
-    for px in range(16):
-        d = 255 - pixels[px][3]
-        term = (d * d)[:, None]
-        m = jnp.asarray(masks_rgb[:, px][None, :])
-        alpha_agg = alpha_agg + jnp.where(m, term, 0)
-    if uniform:
-        static_alpha_error_rgb = lanes.to_float(alpha_agg)
-    else:
-        static_alpha_error_rgb = lanes.to_float(alpha_agg) * cw_sq[3]
+    # pixels of (255 - alpha)^2, then weighted finalize. Zero for opaque
+    # lanes. (The kernel path computes this inside shape_pca.)
+    if not use_kernel:
+        masks_rgb = geom.shape_masks()[rgb_ids]  # [S,16]
+        alpha_agg = jnp.zeros((n, len(rgb_ids)), dtype=jnp.int32)
+        for px in range(16):
+            d = 255 - pixels[px][3]
+            term = (d * d)[:, None]
+            m = jnp.asarray(masks_rgb[:, px][None, :])
+            alpha_agg = alpha_agg + jnp.where(m, term, 0)
+        if uniform:
+            static_alpha_error_rgb = lanes.to_float(alpha_agg)
+        else:
+            static_alpha_error_rgb = lanes.to_float(alpha_agg) * cw_sq[3]
 
     mode_winners = []
 
@@ -728,6 +754,107 @@ def _combine_partitions(mode, mode_pos, best, shape_ids, plan, n, has_alpha,
 
 # --- Dual-plane search (modes 4/5) -------------------------------------------
 
+def _dual_plane_combos(plan: BC7EncodingPlan):
+    """Plan-valid (mode, rotation, index-selector) combos in the
+    reference's visitation (sequence) order (BC67.cpp:1664-1758)."""
+    combos = []
+    seq = 0
+    for mode in (4, 5):
+        for rotation in range(4):
+            num_sp = (list(plan.mode4_sp[rotation]) if mode == 4
+                      else [plan.mode5_sp[rotation]] * 2)
+            if num_sp[0] == 0 and num_sp[1] == 0:
+                seq += (2 if mode == 4 else 1)
+                continue
+            max_isel = 2 if mode == 4 else 1
+            for isel in range(max_isel):
+                this_seq = seq
+                seq += 1
+                if num_sp[isel] <= 0:
+                    continue
+                combos.append(dict(mode=mode, rot=rotation, isel=isel,
+                                   num_tweak=min(num_sp[isel],
+                                                 MAX_TWEAK_ROUNDS),
+                                   seq=this_seq))
+    return combos
+
+
+def _dual_plane_kernel_candidates(pixels, channel_weights, flags,
+                                  plan: BC7EncodingPlan,
+                                  num_refine_rounds: int, n: int):
+    """Dual-plane search via the Pallas kernel (bc7_kernel.dual_plane_best);
+    per-combo winner selection happens here on [N, Q] arrays."""
+    from . import bc7_kernel
+
+    cw = [np.float32(w) for w in channel_weights]
+    fast_indexing = bool(flags & Flags.BC7_FAST_INDEXING)
+    uniform = bool(flags & Flags.UNIFORM)
+    t_cap = MAX_TWEAK_ROUNDS
+
+    combos = _dual_plane_combos(plan)
+    if not combos:
+        return []
+
+    pix_flat = jnp.stack([pixels[px][ch] for px in range(16)
+                          for ch in range(4)], axis=-1)
+    interp = jax.default_backend() not in ("tpu", "axon")
+    out = bc7_kernel.dual_plane_best(pix_flat, combos, cw,
+                                     num_refine_rounds, uniform,
+                                     fast_indexing, interpret=interp)
+    kl = out["k_len"]
+    q_count = len(combos)
+
+    def grp(arr):
+        return arr[:, :q_count * t_cap].reshape(n, q_count, t_cap)
+
+    def reduce4(err_k, rank_k, payload_arrs):
+        """Per-combo (error, rank) lex winner over the 4 tweak lanes;
+        the winner lane is unique because ranks differ per lane."""
+        e = grp(err_k)
+        r = grp(rank_k)
+        m = jnp.min(e, axis=-1)
+        rm = jnp.min(jnp.where(e == m[..., None], r, BIG_RANK), axis=-1)
+        sel = (e == m[..., None]) & (r == rm[..., None])
+        outs = []
+        for arr in payload_arrs:
+            g = grp(arr)
+            v = g[..., 0]
+            for j in range(1, t_cap):
+                v = jnp.where(sel[..., j], g[..., j], v)
+            outs.append(v)
+        return m, outs
+
+    rgb_eps = [out["rgb_ep"][:, i * kl:(i + 1) * kl] for i in range(6)]
+    rgb_idxs = [out["rgb_idx"][:, i * kl:(i + 1) * kl] for i in range(16)]
+    a_eps = [out["a_ep"][:, i * kl:(i + 1) * kl] for i in range(2)]
+    a_idxs = [out["a_idx"][:, i * kl:(i + 1) * kl] for i in range(16)]
+
+    rgb_err_q, rgb_pl = reduce4(out["rgb_err"], out["rgb_rank"],
+                                rgb_eps + rgb_idxs)
+    a_err_q, a_pl = reduce4(out["a_err"], out["a_rank"], a_eps + a_idxs)
+
+    candidates = []
+    for q, cb in enumerate(combos):
+        combined = rgb_err_q[:, q] + a_err_q[:, q]
+        ep = [[[jnp.zeros((n,), dtype=jnp.int32) for _ in range(4)]
+               for _ in range(2)] for _ in range(3)]
+        for epi in range(2):
+            for ch in range(3):
+                ep[0][epi][ch] = rgb_pl[epi * 3 + ch][:, q]
+            ep[0][epi][3] = a_pl[epi][:, q]
+        rgb_indexes = [rgb_pl[6 + px][:, q] for px in range(16)]
+        alpha_indexes = [a_pl[2 + px][:, q] for px in range(16)]
+        if cb["isel"]:
+            indexes, indexes2 = alpha_indexes, rgb_indexes
+        else:
+            indexes, indexes2 = rgb_indexes, alpha_indexes
+        candidates.append(dict(
+            mode=cb["mode"], error=combined, rank=8 * 64 + cb["seq"],
+            partition=None, ep=ep, indexes=indexes, indexes2=indexes2,
+            rotation=cb["rot"], isel=cb["isel"]))
+    return candidates
+
+
 def try_dual_plane(pixels, float_pixels, channel_weights, flags,
                    plan: BC7EncodingPlan, num_refine_rounds: int):
     """TryDualPlane (BC67.cpp:1664-1965). Returns candidate dicts.
@@ -736,6 +863,11 @@ def try_dual_plane(pixels, float_pixels, channel_weights, flags,
     across modes and index-selector values (the reference recomputes it with
     identical inputs per combination)."""
     num_refine_rounds = max(num_refine_rounds, 1)
+
+    n = pixels[0][0].shape[0]
+    if _use_pallas_kernel() and n % 8 == 0:
+        return _dual_plane_kernel_candidates(
+            pixels, channel_weights, flags, plan, num_refine_rounds, n)
     cw = [np.float32(w) for w in channel_weights]
     cw_sq = [w * w for w in cw]
     fast_indexing = bool(flags & Flags.BC7_FAST_INDEXING)

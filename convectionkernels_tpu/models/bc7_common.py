@@ -140,17 +140,25 @@ def accumulate_error(selector, shape_like, members, fps, ips, cfg,
                     lanes.sq_diff_int(recon[ch], ips[px][ch]), 0)
         else:
             def px_error(idx_val, px=px):
-                rec = selector.reconstruct_ldr_bc7(idx_val, num_real_channels)
-                errs = [lanes.sq_diff_int(rec[ch], ips[px][ch])
-                        for ch in range(num_real_channels)]
+                # f32 throughout, bit-identical to the int path: recon
+                # values and squared diffs are integers below 2^24, so
+                # every f32 product/sum here is exact, and summing the
+                # integer-valued channel errors in f32 equals the int sum
+                # converted via ToFloat (see reconstruct_ldr_bc7_f32).
+                rec = selector.reconstruct_ldr_bc7_f32(idx_val,
+                                                       num_real_channels)
+                errs = []
+                for ch in range(num_real_channels):
+                    d = rec[ch] - fps[px][ch]
+                    errs.append(d * d)
                 if uniform:
                     tot = errs[0]
                     for e in errs[1:]:
                         tot = tot + e
-                    return lanes.to_float(tot)
-                tot = lanes.to_float(errs[0]) * cw_sq[0]
+                    return tot
+                tot = errs[0] * cw_sq[0]
                 for ch in range(1, num_real_channels):
-                    tot = tot + lanes.to_float(errs[ch]) * cw_sq[ch]
+                    tot = tot + errs[ch] * cw_sq[ch]
                 return tot
 
             error = px_error(index)

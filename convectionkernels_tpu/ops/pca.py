@@ -50,8 +50,16 @@ def pyramid_product(cov, vec, nch: int):
     return out
 
 
+def _div_each(num_list, denom):
+    """exact_divide per channel. The graph path stacks channels into one
+    trailing axis to cut op count; inside a Pallas kernel a [.., nch]
+    minor axis would pad to 128 lanes, so per-channel calls are used
+    there instead. Elementwise arithmetic is identical either way."""
+    return [exact_divide(v, denom) for v in num_list]
+
+
 def endpoint_selector(pw_pixels, pixel_weights, nch: int, iterations: int = 8,
-                      member_mask=None):
+                      member_mask=None, stacked: bool = True):
     """EndpointSelector<nch, iterations> over all three passes.
 
     Args:
@@ -81,9 +89,12 @@ def endpoint_selector(pw_pixels, pixel_weights, nch: int, iterations: int = 8,
             centroid[ch] = centroid[ch] + pw_pixels[px][ch] * w
         weight_total = weight_total + w
     denom = lanes.make_safe_denominator(weight_total)
-    centroid_all = exact_divide(jnp.stack(centroid, axis=-1),
-                                denom[..., None])
-    centroid = [centroid_all[..., ch] for ch in range(nch)]
+    if stacked:
+        centroid_all = exact_divide(jnp.stack(centroid, axis=-1),
+                                    denom[..., None])
+        centroid = [centroid_all[..., ch] for ch in range(nch)]
+    else:
+        centroid = _div_each(centroid, denom)
 
     # Pass 1: covariance (EndpointSelector.h:89-96)
     cov = [zero] * ((nch * (nch + 1)) // 2)
@@ -99,9 +110,12 @@ def endpoint_selector(pw_pixels, pixel_weights, nch: int, iterations: int = 8,
         for ch in range(1, nch):
             largest = jnp.maximum(largest, product[ch])
         largest = lanes.make_safe_denominator(largest)
-        approx_all = exact_divide(jnp.stack(product, axis=-1),
-                                  largest[..., None])
-        approx = [approx_all[..., ch] for ch in range(nch)]
+        if stacked:
+            approx_all = exact_divide(jnp.stack(product, axis=-1),
+                                      largest[..., None])
+            approx = [approx_all[..., ch] for ch in range(nch)]
+        else:
+            approx = _div_each(product, largest)
 
     approx_len = None
     for ch in range(nch):
@@ -109,9 +123,12 @@ def endpoint_selector(pw_pixels, pixel_weights, nch: int, iterations: int = 8,
         approx_len = term if approx_len is None else approx_len + term
     approx_len = exact_sqrt(approx_len)
     approx_len = lanes.make_safe_denominator(approx_len)
-    dir_all = exact_divide(jnp.stack(approx, axis=-1),
-                           approx_len[..., None])
-    direction = [dir_all[..., ch] for ch in range(nch)]
+    if stacked:
+        dir_all = exact_divide(jnp.stack(approx, axis=-1),
+                               approx_len[..., None])
+        direction = [dir_all[..., ch] for ch in range(nch)]
+    else:
+        direction = _div_each(approx, approx_len)
 
     # Pass 2: min/max projection (EndpointSelector.h:132-141)
     min_dist = jnp.full_like(zero, lanes.FLT_MAX)
@@ -134,7 +151,7 @@ def endpoint_selector(pw_pixels, pixel_weights, nch: int, iterations: int = 8,
 
 
 def get_endpoints(centroid, direction, min_dist, max_dist, channel_weights,
-                  nch: int):
+                  nch: int, stacked: bool = True):
     """EndpointSelector::GetEndpoints (EndpointSelector.h:51-71).
 
     Returns (base, offset) per channel — the UnfinishedEndpoints line.
@@ -145,12 +162,25 @@ def get_endpoints(centroid, direction, min_dist, max_dist, channel_weights,
     for ch in range(nch):
         mns.append(centroid[ch] + direction[ch] * min_dist)
         mxs.append(centroid[ch] + direction[ch] * max_dist)
-    cw = jnp.asarray(np.asarray(channel_weights[:nch], dtype=np.float32))
-    base_all = exact_divide(jnp.stack(mns, axis=-1), cw)
-    offset_all = exact_divide(
-        jnp.stack([mxs[ch] - mns[ch] for ch in range(nch)], axis=-1), cw)
-    return ([base_all[..., ch] for ch in range(nch)],
-            [offset_all[..., ch] for ch in range(nch)])
+    if stacked:
+        cw = jnp.asarray(np.asarray(channel_weights[:nch],
+                                    dtype=np.float32))
+        base_all = exact_divide(jnp.stack(mns, axis=-1), cw)
+        offset_all = exact_divide(
+            jnp.stack([mxs[ch] - mns[ch] for ch in range(nch)], axis=-1),
+            cw)
+        return ([base_all[..., ch] for ch in range(nch)],
+                [offset_all[..., ch] for ch in range(nch)])
+    def cw_arr(ch):
+        w = channel_weights[ch]
+        if isinstance(w, jnp.ndarray):
+            return jnp.broadcast_to(w, mns[ch].shape)
+        return jnp.full_like(mns[ch], np.float32(w))
+
+    base = [exact_divide(mns[ch], cw_arr(ch)) for ch in range(nch)]
+    offset = [exact_divide(mxs[ch] - mns[ch], cw_arr(ch))
+              for ch in range(nch)]
+    return base, offset
 
 
 def finish_ldr(base, offset, tweak: int, range_: int, nch: int):

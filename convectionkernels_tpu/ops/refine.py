@@ -22,8 +22,16 @@ from .exact_math import exact_divide, exact_reciprocal
 class EndpointRefiner:
     """Mirror of EndpointRefiner<nch>. Mutable accumulator of jnp arrays."""
 
-    def __init__(self, zero, nch: int, index_range: int, channel_weights):
-        # Init (EndpointRefiner.h:38-60)
+    def __init__(self, zero, nch: int, index_range, channel_weights,
+                 rcp_max_index=None, rcp_channel_weights=None):
+        """Init (EndpointRefiner.h:38-60).
+
+        For the dual-plane Pallas kernel, where the index range and
+        channel weights vary per candidate lane, `index_range` may be
+        ignored by passing precomputed broadcastable `rcp_max_index` /
+        `rcp_channel_weights` rows (host-computed with the same f32
+        divisions as the scalar path, so per-lane values are identical).
+        """
         self.nch = nch
         self.tv = [zero] * nch
         self.v = [zero] * nch
@@ -31,12 +39,18 @@ class EndpointRefiner:
         self.t = zero
         self.w = zero
         self.wu = jnp.zeros_like(zero).astype(jnp.int32)
-        self.rcp_max_index = np.float32(1.0) / np.float32(index_range - 1)
-        self.channel_weights = [np.float32(w) for w in channel_weights[:nch]]
-        self.rcp_channel_weights = [
-            np.float32(1.0) if w == 0.0 else np.float32(1.0) / np.float32(w)
-            for w in self.channel_weights
-        ]
+        if rcp_max_index is None:
+            rcp_max_index = np.float32(1.0) / np.float32(index_range - 1)
+        self.rcp_max_index = rcp_max_index
+        self.channel_weights = [
+            w if isinstance(w, jnp.ndarray) else np.float32(w)
+            for w in channel_weights[:nch]]
+        if rcp_channel_weights is None:
+            rcp_channel_weights = [
+                np.float32(1.0) if w == 0.0
+                else np.float32(1.0) / np.float32(w)
+                for w in self.channel_weights]
+        self.rcp_channel_weights = rcp_channel_weights
 
     def contribute_unweighted_pw(self, pw_pixel, index, num_real_channels=None,
                                  mask=None):
@@ -74,8 +88,12 @@ class EndpointRefiner:
         self.t = self.t + weight * t
         self.w = self.w + weight
 
-    def get_refined_endpoints(self):
-        """GetRefinedEndpoints (EndpointRefiner.h:100-145). Returns float eps."""
+    def get_refined_endpoints(self, stacked: bool = True):
+        """GetRefinedEndpoints (EndpointRefiner.h:100-145). Returns float eps.
+
+        stacked=False runs the channel divides separately (identical
+        elementwise arithmetic) — used inside Pallas kernels where a
+        [., nch] minor axis would pad to 128 lanes."""
         w = self.w + self.wu.astype(jnp.float32)
         w = lanes.make_safe_denominator(w)
         w_rcp = exact_reciprocal(w)  # scalar Reciprocal == exact division
@@ -84,15 +102,19 @@ class EndpointRefiner:
         adenom_zero = adenom == np.float32(0.0)
         adenom = jnp.where(adenom_zero, np.float32(1.0), adenom)
 
-        # one stacked divide for all channels (elementwise, so identical)
-        a_numer = jnp.stack(
-            [self.tv[ch] - self.t * self.v[ch] * w_rcp
-             for ch in range(self.nch)], axis=-1)
-        a_all = exact_divide(a_numer, adenom[..., None])
+        a_numer_list = [self.tv[ch] - self.t * self.v[ch] * w_rcp
+                        for ch in range(self.nch)]
+        if stacked:
+            a_all = exact_divide(jnp.stack(a_numer_list, axis=-1),
+                                 adenom[..., None])
+            a_list = [a_all[..., ch] for ch in range(self.nch)]
+        else:
+            a_list = [exact_divide(a_numer_list[ch], adenom)
+                      for ch in range(self.nch)]
 
         ep0, ep1 = [], []
         for ch in range(self.nch):
-            a = a_all[..., ch]
+            a = a_list[ch]
             b = (self.v[ch] - a * self.t) * w_rcp
             p1 = b
             p2 = a + b
@@ -103,10 +125,11 @@ class EndpointRefiner:
             ep1.append(p2 * inv_w)
         return ep0, ep1
 
-    def get_refined_endpoints_ldr(self, num_real_channels=None):
+    def get_refined_endpoints_ldr(self, num_real_channels=None,
+                                  stacked: bool = True):
         """GetRefinedEndpointsLDR (EndpointRefiner.h:147-157) -> int32 eps."""
         nrc = self.nch if num_real_channels is None else num_real_channels
-        f0, f1 = self.get_refined_endpoints()
+        f0, f1 = self.get_refined_endpoints(stacked=stacked)
         ep0 = [lanes.round_and_convert_to_int_nearest(
             lanes.clamp(f0[ch], 0.0, 255.0)) for ch in range(nrc)]
         ep1 = [lanes.round_and_convert_to_int_nearest(
