@@ -95,6 +95,23 @@ def _ordered_argmin(error, rank_axis_is_ordered=True):
     return err, idx
 
 
+def _gather_cols(arr, col):
+    """arr[n, col[n]] via a masked sum (3 vector ops) instead of
+    take_along_axis, which XLA:TPU lowers to a ~40 us serial gather.
+    Exact for ints and for the non-negative f32 errors used here."""
+    mask = col[:, None] == jnp.arange(arr.shape[1],
+                                      dtype=jnp.int32)[None, :]
+    return jnp.sum(jnp.where(mask, arr, 0), axis=1)
+
+
+def _lut(table, idx):
+    """table[idx] for a small constant table, as a masked sum."""
+    t = jnp.asarray(table)
+    mask = idx[:, None] == jnp.arange(t.shape[0],
+                                      dtype=jnp.int32)[None, :]
+    return jnp.sum(jnp.where(mask, t[None, :], 0), axis=1)
+
+
 def _gather_last(arr, idx):
     """Select arr[..., idx] over a small static last axis.
 
@@ -248,24 +265,29 @@ def _single_plane_kernel_best(mode, n, pixels, base, offset, seeds,
     t_count = MAX_TWEAK_ROUNDS
     index_range = cfg["index_range"]
 
-    # static packed candidate table, shape-major
-    s_list, t_list, p_list = [], [], []
-    counts = np.zeros(s_count, dtype=np.int32)
-    for s in range(s_count):
-        n_t = min(int(seeds[s]), t_count)
-        counts[s] = parity_max * n_t
-        for p in range(parity_max):
-            for t in range(n_t):
-                s_list.append(s)
-                t_list.append(t)
-                p_list.append(p)
-    k_real = len(s_list)
+    # static packed candidate table, shape-major with UNIFORM per-shape
+    # slot count (parity_max x the mode's max seed count): slot j of
+    # shape s is (p = j // t_max, t = j % t_max), invalid when
+    # t >= seeds[s]. Uniform slots let the per-shape winner reduction be
+    # a reshape + where-chains instead of per-slot gathers (XLA:TPU
+    # lowers indexed takes to ~40us serial gathers).
+    t_max = max(1, min(int(seeds.max()) if s_count else 1, t_count))
+    c_max = parity_max * t_max
+    k_real = s_count * c_max
     k_len = max(-(-k_real // 128) * 128, 128)
     pad = k_len - k_real
-    s_of_k = np.asarray(s_list + [0] * pad, dtype=np.int32)
-    t_of_k = np.asarray(t_list + [0] * pad, dtype=np.int32)
-    p_of_k = np.asarray(p_list + [0] * pad, dtype=np.int32)
-    pad_mask = np.arange(k_len) >= k_real
+    ks = np.arange(k_real)
+    s_of_k = np.concatenate([ks // c_max,
+                             np.zeros(pad, np.int64)]).astype(np.int32)
+    p_of_k = np.concatenate([(ks % c_max) // t_max,
+                             np.zeros(pad, np.int64)]).astype(np.int32)
+    t_of_k = np.concatenate([ks % t_max,
+                             np.zeros(pad, np.int64)]).astype(np.int32)
+    seeds_clamped = np.minimum(seeds.astype(np.int32), t_count)
+    invalid_slot = np.concatenate([
+        ks % t_max >= seeds_clamped[ks // c_max],
+        np.ones(pad, dtype=bool)])
+    pad_mask = invalid_slot
 
     # tweak factors per candidate
     f0 = np.zeros(k_len, dtype=np.float32)
@@ -316,31 +338,32 @@ def _single_plane_kernel_best(mode, n, pixels, base, offset, seeds,
         mode, pix_flat, ep_init, alpha_k, consts, cfg, cw,
         num_refine_rounds, interpret=interpret)
 
-    # per-shape winner: LexBest over each shape's (static) candidate slots
-    c_max = int(counts.max()) if s_count else 0
-    cand_of_shape = np.zeros((s_count, c_max), dtype=np.int32)
-    valid_np = np.zeros((s_count, c_max), dtype=bool)
-    pos = 0
-    for s in range(s_count):
-        c = int(counts[s])
-        cand_of_shape[s, :c] = np.arange(pos, pos + c)
-        valid_np[s, :c] = True
-        pos += c
+    # per-shape winner: reshape the uniform slots to [N, S, Cmax] and
+    # lex-reduce with where-chains (the winner slot is unique because
+    # final ranks differ per slot; invalid slots carry +inf error)
+    def grp(arr):
+        return arr[:, :k_real].reshape(n, s_count, c_max)
 
-    best = LexBest.empty((n, s_count), {"ep": (2, 4)})
-    for j in range(c_max):
-        k_idx = jnp.asarray(cand_of_shape[:, j])
-        vm = jnp.asarray(valid_np[:, j])[None, :]
-        err_j = jnp.where(vm, jnp.take(err, k_idx, axis=1), INF)
-        rank_j = jnp.take(rank, k_idx, axis=1)
-        ep_j = jnp.stack(
-            [jnp.stack(
-                [jnp.take(ep8[:, (e * 4 + c2) * k_len:
-                              (e * 4 + c2 + 1) * k_len], k_idx, axis=1)
-                 for c2 in range(4)], axis=-1)
-             for e in range(2)], axis=-2)  # [N, S, 2, 4]
-        best.update(err_j, rank_j, {"ep": ep_j})
-    return best
+    e = grp(err)
+    r = grp(rank)
+    m = jnp.min(e, axis=-1)
+    rm = jnp.min(jnp.where(e == m[..., None], r, BIG_RANK), axis=-1)
+    sel = (e == m[..., None]) & (r == rm[..., None])
+
+    def pick(arr):
+        g = grp(arr)
+        v = g[..., 0]
+        for j in range(1, c_max):
+            v = jnp.where(sel[..., j], g[..., j], v)
+        return v
+
+    ep_pl = jnp.stack(
+        [jnp.stack(
+            [pick(ep8[:, (e2 * 4 + c2) * k_len:
+                       (e2 * 4 + c2 + 1) * k_len])
+             for c2 in range(4)], axis=-1)
+         for e2 in range(2)], axis=-2)  # [N, S, 2, 4]
+    return LexBest(m, rm, {"ep": ep_pl})
 
 
 def try_single_plane(pixels, float_pixels, pw_pixels, channel_weights, flags,
@@ -581,8 +604,7 @@ def try_single_plane(pixels, float_pixels, pw_pixels, channel_weights, flags,
                 else:
                     stack = jnp.stack([idx_by_subset[s][px]
                                        for s in range(num_subsets)], axis=-1)
-                    indexes.append(jnp.take_along_axis(
-                        stack, owner[px][:, None], axis=1)[:, 0])
+                    indexes.append(_gather_last(stack, owner[px]))
             winner["indexes"] = indexes
             mode_winners.append(winner)
 
@@ -712,7 +734,7 @@ def _combine_partitions(mode, mode_pos, best, shape_ids, plan, n, has_alpha,
 
     cand = jnp.where(valid, total_error, INF)
     err, win = _ordered_argmin(cand)
-    win_part = jnp.take(jnp.asarray(np.asarray(parts, dtype=np.int32)), win)
+    win_part = _lut(np.asarray(parts, dtype=np.int32), win)
 
     # materialize winner payload
     ep = [[[jnp.zeros((n,), dtype=jnp.int32) for _ in range(4)]
@@ -723,27 +745,24 @@ def _combine_partitions(mode, mode_pos, best, shape_ids, plan, n, has_alpha,
     else:
         table = np.asarray([[col_of[s] for s in shapes_of(p)] for p in parts],
                            dtype=np.int32)  # [parts, subsets]
-        cols_per_subset = [jnp.take(jnp.asarray(table[:, k]), win)
+        cols_per_subset = [_lut(table[:, k], win)
                            for k in range(num_subsets)]
 
     for subset in range(num_subsets):
         c = cols_per_subset[subset]
         for epi in range(2):
             for ch in range(4):
-                ep[subset][epi][ch] = jnp.take_along_axis(
-                    best.payload["ep"][:, :, epi, ch], c[:, None],
-                    axis=1)[:, 0]
+                ep[subset][epi][ch] = _gather_cols(
+                    best.payload["ep"][:, :, epi, ch], c)
 
     # indexes: gather from the owning subset's shape per pixel
     if num_subsets == 1:
         owner = [jnp.zeros((n,), dtype=jnp.int32) for _ in range(16)]
     elif num_subsets == 2:
-        pmap = jnp.take(jnp.asarray(geom.PARTITION_MAP_2.astype(np.int32)),
-                        win_part)
+        pmap = _lut(geom.PARTITION_MAP_2.astype(np.int32), win_part)
         owner = [(pmap >> px) & 1 for px in range(16)]
     else:
-        pmap = jnp.take(jnp.asarray(geom.PARTITION_MAP_3.astype(np.int64)),
-                        win_part)
+        pmap = _lut(geom.PARTITION_MAP_3.astype(np.int64), win_part)
         owner = [((pmap >> (2 * px)) & 3).astype(jnp.int32)
                  for px in range(16)]
 
@@ -1296,24 +1315,21 @@ def _pack_mode_bits(mode: int, work, n):
         fix2 = jnp.zeros((n,), dtype=jnp.int32)
     else:
         if num_subsets == 2:
-            fix1 = jnp.take(jnp.asarray(geom.FIXUP_INDEXES_2), partition)
+            fix1 = _lut(geom.FIXUP_INDEXES_2, partition)
             fix2 = jnp.zeros((n,), dtype=jnp.int32)
         elif num_subsets == 3:
-            fix1 = jnp.take(jnp.asarray(geom.FIXUP_INDEXES_3[:, 0]),
-                            partition)
-            fix2 = jnp.take(jnp.asarray(geom.FIXUP_INDEXES_3[:, 1]),
-                            partition)
+            fix1 = _lut(geom.FIXUP_INDEXES_3[:, 0], partition)
+            fix2 = _lut(geom.FIXUP_INDEXES_3[:, 1], partition)
         else:
             fix1 = jnp.zeros((n,), dtype=jnp.int32)
             fix2 = jnp.zeros((n,), dtype=jnp.int32)
 
         # owner subset per pixel
         if num_subsets == 2:
-            pmap = jnp.take(jnp.asarray(geom.PARTITION_MAP_2.astype(
-                np.int32)), partition)
+            pmap = _lut(geom.PARTITION_MAP_2.astype(np.int32), partition)
             owner = [(pmap >> px) & 1 for px in range(16)]
         elif num_subsets == 3:
-            pmap = jnp.take(jnp.asarray(geom.PARTITION_MAP_3), partition)
+            pmap = _lut(geom.PARTITION_MAP_3, partition)
             owner = [((pmap >> (2 * px)) & 3).astype(jnp.int32)
                      for px in range(16)]
         else:
@@ -1326,15 +1342,13 @@ def _pack_mode_bits(mode: int, work, n):
             if subset < num_subsets:
                 fx = fixups[subset]
                 stack = jnp.stack(indexes, axis=-1)
-                idx_at_fix = jnp.take_along_axis(stack, fx[:, None],
-                                                 axis=1)[:, 0]
+                idx_at_fix = _gather_cols(stack, fx)
                 flips.append((idx_at_fix & (1 << (ib - 1))) != 0)
             else:
                 flips.append(jnp.zeros((n,), dtype=bool))
         flips_stack = jnp.stack(flips, axis=-1)
         for px in range(16):
-            f = jnp.take_along_axis(flips_stack, owner[px][:, None],
-                                    axis=1)[:, 0]
+            f = _gather_last(flips_stack, owner[px])
             indexes[px] = jnp.where(f, hi_idx - indexes[px], indexes[px])
         max_ch = 4 if combined else 3
         for subset in range(num_subsets):
