@@ -24,7 +24,8 @@ from ..ops.refine import EndpointRefiner
 from ..options import Flags
 from ..tables import bc6h_layout
 from ..tables import bc7_geometry as geom
-from .bc7 import (INF, LexBest, _gather_last, _ordered_argmin, _pack_var)
+from .bc7 import (INF, LexBest, _gather_cols, _gather_last, _lut,
+                  _ordered_argmin, _pack_var)
 from ..ops.index_select import WEIGHT_RECIPROCALS
 
 MAX_TWEAK_ROUNDS = 4   # BC67.h:86
@@ -217,9 +218,14 @@ class _HDRIndexSelector:
         un_idx = self.invert_single(index)  # inversion is an involution
         err = None
         for ch in range(3):
-            interp = jnp.take_along_axis(self.interp_unw[ch],
-                                         un_idx[..., None, :],
-                                         axis=-2)[..., 0, :]
+            # select the interpolant by index with a where-chain over the
+            # R precomputed values (XLA:TPU lowers take_along_axis to a
+            # serial gather; R is 8 or 16 and this runs 16 px x 3 ch per
+            # meta round, which made gathers the dominant encode cost)
+            interp = self.interp_unw[ch][..., 0, :]
+            for r in range(1, self.range):
+                interp = jnp.where(un_idx == r,
+                                   self.interp_unw[ch][..., r, :], interp)
             d = interp - f2cl_unw_px[ch]
             e = d * d
             if not uniform:
@@ -568,7 +574,7 @@ def pack(pixels_f16bits, flags: int, channel_weights, is_signed: bool,
         # (leading-axis flatten preserves p-major, then m0, then m1 order)
         flat = cand_err.reshape(-1, n)
         win = lanes.first_argmin(flat, 0)
-        win_err = jnp.take_along_axis(flat, win[None, :], axis=0)[0]
+        win_err = jnp.min(flat, axis=0)  # == flat[win], no gather
 
         # static decode of the flat winner index
         meta_ids = np.asarray(valid_rounds, dtype=np.int32)
@@ -583,19 +589,23 @@ def pack(pixels_f16bits, flags: int, channel_weights, is_signed: bool,
         m1_pos_of = np.tile(np.arange(m1_count, dtype=np.int32),
                             num_parts * m_count)
 
-        win_part = jnp.take(jnp.asarray(p_of), win)
-        win_m0 = jnp.take(jnp.asarray(m0_of), win)
-        win_m1 = jnp.take(jnp.asarray(m1_of), win)
+        win_part = _lut(p_of, win)
+        win_m0 = _lut(m0_of, win)
+        win_m1 = _lut(m1_of, win)
         win_rank = rank_base + (win_part * (max_meta * max_meta)
                                 + win_m0 * max_meta + win_m1)
-        win_m0_pos = jnp.take(jnp.asarray(m0_pos_of), win)
-        win_m1_pos = jnp.take(jnp.asarray(m1_pos_of), win)
+        win_m0_pos = _lut(m0_pos_of, win)
+        win_m1_pos = _lut(m1_pos_of, win)
 
         def gather_pm(arr, m_pos):
-            """arr [P,M,N] -> [N] at (win_part, m_pos)."""
+            """arr [P,M,N] -> [N] at (win_part, m_pos), as a masked sum
+            over the P*M rows (take_along_axis would serial-gather)."""
             flat_arr = arr.reshape(-1, n)
             idx = win_part * arr.shape[1] + m_pos
-            return jnp.take_along_axis(flat_arr, idx[None, :], axis=0)[0]
+            rows = jnp.arange(flat_arr.shape[0],
+                              dtype=jnp.int32)[:, None]
+            return jnp.sum(jnp.where(rows == idx[None, :], flat_arr, 0),
+                           axis=0)
 
         # winner endpoints and first-legal mode recomputed on [N]
         w_ep = [[[gather_pm(ep0_all[e][ch], win_m0_pos) for ch in range(3)]
@@ -646,8 +656,8 @@ def pack(pixels_f16bits, flags: int, channel_weights, is_signed: bool,
             v0 = gather_pm(idx0_all[px], win_m0_pos)
             if partitioned:
                 v1 = gather_pm(idx1_all[px], win_m1_pos)
-                own1 = jnp.take(jnp.asarray(
-                    sub_mask[:, 1, px].astype(np.int32)), win_part) != 0
+                own1 = _lut(sub_mask[:, 1, px].astype(np.int32),
+                            win_part) != 0
                 idx_px.append(jnp.where(own1, v1, v0))
             else:
                 idx_px.append(v0)
@@ -715,7 +725,7 @@ def _pack_bits(best, n):
         header_bits = 82 if partitioned else 65
         index_bits = 3 if partitioned else 4
         if partitioned:
-            fix1 = jnp.take(jnp.asarray(geom.FIXUP_INDEXES_2), partition)
+            fix1 = _lut(geom.FIXUP_INDEXES_2, partition)
         else:
             fix1 = jnp.zeros((n,), dtype=jnp.int32)
 

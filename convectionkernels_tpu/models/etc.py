@@ -718,13 +718,24 @@ def encode_hmode(stage: StageBest, rank_base: int, groupings, pixels, pw,
         u0 = _unique_rank(sector_colors[0], 1, sector_colors[0].shape[1])
         u1 = _unique_rank(sector_colors[1], 1, sector_colors[1].shape[1])
 
+        # Pair grid flattened j-major to ONE lane axis k = i1*C + i0:
+        # a [N, 33, 33] layout would pad its minor (33, 33) dims to
+        # (40, 128) VREG tiles (4.7x waste on the hottest H-mode ops);
+        # [N, 1089] pads ~6%. tile() varies i0 fastest, repeat() i1.
         c_count = sector_colors[0].shape[1]
+
+        def over0(x):  # value indexed by i0 -> [N, C*C]
+            return jnp.tile(x, (1, c_count))
+
+        def over1(x):  # value indexed by i1 -> [N, C*C]
+            return jnp.repeat(x, c_count, axis=1)
+
         total = None
         sector_bits = None
         sign_bits = None
         for px in range(16):
-            e0 = errs0[px][:, :, None]
-            e1 = errs1[px][:, None, :]
+            e0 = over0(errs0[px])
+            e1 = over1(errs1[px])
             pick1 = e1 < e0
             t = jnp.where(pick1, e1, e0)
             total = t if total is None else total + t
@@ -732,8 +743,8 @@ def encode_hmode(stage: StageBest, rank_base: int, groupings, pixels, pw,
             sb = jnp.where(pick1, bit, 0)
             sector_bits = sb if sector_bits is None else sector_bits | sb
             sgn = jnp.where(pick1,
-                            jnp.where(signs1[px][:, None, :], bit, 0),
-                            jnp.where(signs0[px][:, :, None], bit, 0))
+                            jnp.where(over1(signs1[px]), bit, 0),
+                            jnp.where(over0(signs0[px]), bit, 0))
             sign_bits = sgn if sign_bits is None else sign_bits | sgn
 
         # The reference's combo walk (ETC.cpp:797-815) pre-increments index0,
@@ -741,25 +752,24 @@ def encode_hmode(stage: StageBest, rank_base: int, groupings, pixels, pw,
         # sector 1 has exactly one unique color (then index1 clamps to 0).
         # With >1 unique colors in sector 1, (0,0) is never visited.
         nu1 = jnp.max(u1, axis=-1) + 1  # [N] unique count, sector 1
-        skip = ((u0[:, :, None] == 0) & (u1[:, None, :] == 0)
-                & (nu1[:, None, None] > 1))
+        skip = ((over0(u0) == 0) & (over1(u1) == 0)
+                & (nu1[:, None] > 1))
         total = jnp.where(skip, INF, total)
 
         # reference combo order is (i1-major, i0) over unique indexes:
-        # rank = u1 * numUnique0 + u0; dense argmin in (u1, u0) order:
-        # flatten with axis order (j, i)
-        total_t = jnp.swapaxes(total, 1, 2).reshape(n, -1)
-        win = lanes.first_argmin(total_t, -1)
+        # rank = u1 * numUnique0 + u0; the j-major flat order matches, so
+        # the dense first-occurrence argmin preserves visitation rank
+        win = lanes.first_argmin(total, -1)
 
         def g(x, win=win):
-            xt = jnp.swapaxes(jnp.broadcast_to(x, total.shape), 1,
-                              2).reshape(n, -1)
-            return jnp.take_along_axis(xt, win[:, None], axis=1)[:, 0]
+            mask = win[:, None] == jnp.arange(
+                x.shape[1], dtype=jnp.int32)[None, :]
+            return jnp.sum(jnp.where(mask, x, 0), axis=1)
 
         cand = dict(
-            error=g(total),
-            color0=g(sector_colors[0][:, :, None]),
-            color1=g(sector_colors[1][:, None, :]),
+            error=jnp.min(total, axis=-1),
+            color0=g(over0(sector_colors[0])),
+            color1=g(over1(sector_colors[1])),
             sector_bits=g(sector_bits),
             sign_bits=g(sign_bits),
             table=jnp.full((n,), table, dtype=jnp.int32),
@@ -1242,15 +1252,12 @@ def _compress_alpha_internal(pixels, is_11bit: bool, is_signed: bool):
         clamped2 = jnp.minimum(jnp.maximum(unclamped2, 0), 510)
         base = (clamped2 + 1) >> 1
 
-    # per-candidate static lookup tables flattened for gathers
-    flat_rounding = jnp.asarray(
-        rounding[cand_table].reshape(-1))        # [C*13]
-    flat_mod_pos = jnp.asarray(
-        mod_pos[cand_table].reshape(-1))         # [C*4]
-    cand_offsets13 = jnp.asarray(
-        (np.arange(c) * etc_tables.ALPHA_ROUNDING_TABLE_WIDTH
-         ).astype(np.int32))[None, :]
-    cand_offsets4 = jnp.asarray((np.arange(c) * 4).astype(np.int32))[None, :]
+    # per-candidate static lookup rows; lookups resolve via where-chains
+    # over the 13 rounding entries / 4 modifier entries (XLA:TPU lowers
+    # indexed takes to serial gathers - two per pixel here was ~300 ms of
+    # the 305 ms EAC chunk time)
+    rounding_rows = rounding[cand_table].astype(np.int32)  # [C, 13]
+    mod_pos_rows = mod_pos[cand_table].astype(np.int32)     # [C, 4]
 
     total = jnp.zeros((n, c), dtype=jnp.int32)
     idx_list = []
@@ -1262,8 +1269,18 @@ def _compress_alpha_internal(pixels, is_11bit: bool, is_signed: bool):
         lookup = (abs_ar2 >> 1) // jnp.maximum(mult, 1)
         lookup = jnp.minimum(lookup,
                              etc_tables.ALPHA_ROUNDING_TABLE_WIDTH - 1)
-        pos_index = jnp.take(flat_rounding, cand_offsets13 + lookup)
-        pos_offset = jnp.take(flat_mod_pos, cand_offsets4 + pos_index)
+        pos_index = jnp.asarray(rounding_rows[:, 0])[None, :]
+        pos_index = jnp.broadcast_to(pos_index, lookup.shape)
+        for r in range(1, etc_tables.ALPHA_ROUNDING_TABLE_WIDTH):
+            pos_index = jnp.where(
+                lookup == r, jnp.asarray(rounding_rows[:, r])[None, :],
+                pos_index)
+        pos_offset = jnp.asarray(mod_pos_rows[:, 0])[None, :]
+        pos_offset = jnp.broadcast_to(pos_offset, pos_index.shape)
+        for r in range(1, 4):
+            pos_offset = jnp.where(
+                pos_index == r, jnp.asarray(mod_pos_rows[:, r])[None, :],
+                pos_offset)
         sign_bits = about_reflector2 >> 31
         offset_unmult = pos_offset ^ sign_bits
         offset_value = base + offset_unmult * mult

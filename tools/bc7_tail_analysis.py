@@ -1,10 +1,11 @@
-"""Attribute the BC7 encode program's non-kernel op time to source lines.
+"""Attribute an encode program's device op time to source lines.
 
-Compiles the bc7 chunk program on the TPU, profiles one fresh run, then
+Compiles the chunk program on the TPU, profiles one fresh run, then
 maps each device op name (fusion.N etc.) to the HLO instruction's
 source metadata and aggregates device time per source file:line.
 
-Run: PYTHONPATH=/root/.axon_site:/root/repo python tools/bc7_tail_analysis.py [q]
+Run: PYTHONPATH=/root/.axon_site:/root/repo python tools/bc7_tail_analysis.py [fmt]
+fmt: bc7_q50 / bc7_q100 / etc2 / etc1 / eac_r11 / bc6hu / bc1 / bc3 (default bc7_q50)
 """
 
 import re
@@ -26,7 +27,7 @@ def main():
     from convectionkernels_tpu.bc7_plan import (BC7EncodingPlan,
                                                 plan_from_quality)
     from bench import blockify_test_image
-    from tools.profile_formats import profile_fn, _device_events
+    from tools.profile_formats import _device_events
     import gzip
     import json
     import glob
@@ -34,11 +35,35 @@ def main():
     import tempfile
     import time
 
-    q = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    from convectionkernels_tpu.api import (_bc1_fn, _bc3_fn, _bc6h_fn,
+                                           _eac_fn, _etc_fn)
+    from bench import hdr_test_blocks
+
+    fmt = sys.argv[1] if len(sys.argv) > 1 else "bc7_q50"
     opt = Options()
-    plan = BC7EncodingPlan() if q >= 100 else plan_from_quality(q)
-    fn = _bc7_fn(opt, plan)
-    x = blockify_test_image(fn.chunk)
+    if fmt.startswith("bc7_q"):
+        q = int(fmt[5:])
+        plan = BC7EncodingPlan() if q >= 100 else plan_from_quality(q)
+        fn = _bc7_fn(opt, plan)
+        x = blockify_test_image(fn.chunk)
+    elif fmt in ("etc1", "etc2", "etc2_pt", "etc2_rgba", "etc2_alpha"):
+        fn = _etc_fn(opt, fmt)
+        x = blockify_test_image(fn.chunk)
+    elif fmt == "eac_r11":
+        fn = _eac_fn(opt, False)
+        x = np.random.default_rng(44).integers(
+            0, 2048, size=(fn.chunk, 16), dtype=np.int16)
+    elif fmt == "bc6hu":
+        fn = _bc6h_fn(opt, False)
+        x = hdr_test_blocks(fn.chunk)
+    elif fmt == "bc1":
+        fn = _bc1_fn(opt)
+        x = blockify_test_image(fn.chunk)
+    elif fmt == "bc3":
+        fn = _bc3_fn(opt)
+        x = blockify_test_image(fn.chunk)
+    else:
+        raise SystemExit(f"unknown fmt {fmt}")
 
     jitted = fn.jitted_body
     import jax.numpy as jnp
