@@ -179,10 +179,16 @@ def main():
         # 16 dispatches each re-upload the executable through the tunnel,
         # which overflows the profiler window; one chunk is the honest
         # per-chip steady-state unit (the product path just repeats it)
-        n_bench = min(pixels.shape[0], fn.chunk)
-        ours = bench_ours(fn.jitted_body, pixels[:n_bench])
-        ref_name, ref_pixels, ref_kwargs = ref
-        ref_rate = bench_reference(ref_name, ref_pixels, **ref_kwargs)
+        try:
+            n_bench = min(pixels.shape[0], fn.chunk)
+            ours = bench_ours(fn.jitted_body, pixels[:n_bench])
+            ref_name, ref_pixels, ref_kwargs = ref
+            ref_rate = bench_reference(ref_name, ref_pixels, **ref_kwargs)
+        except Exception as exc:  # keep the headline alive: the remote
+            # compile helper can be OOM-killed under concurrent compiles
+            print(f"{name}: FAILED ({type(exc).__name__}: "
+                  f"{str(exc)[:200]})", file=sys.stderr, flush=True)
+            continue
         results[name] = (ours, ref_rate, ours / ref_rate)
         print(f"{name}: ours {ours:.1f} Mtexels/s, reference SSE2 "
               f"{ref_rate:.3f} Mtexels/s, speedup {ours / ref_rate:.1f}x",
