@@ -1,0 +1,64 @@
+"""Chunk-size sweep: on-device time per chunk vs chunk size.
+
+The heavy codecs (ETC, BC6H, BC7) run in 4096-block chunks to bound the
+HBM held by their candidate tensors. Their per-chunk device time is
+dominated by *fixed* small-op overhead (profile_formats.py), so a larger
+chunk amortizes that overhead over more texels. This sweep measures the
+real trade-off on the attached chip to pick per-codec chunk sizes.
+
+Usage: python tools/chunk_sweep.py [fmt ...]   (default: etc2 bc6hu bc7_q50)
+"""
+
+import sys
+import time
+
+import numpy as np
+
+from convectionkernels_tpu.utils import cache as _cache
+
+_cache.enable()
+
+sys.path.insert(0, ".")
+from bench import blockify_test_image, hdr_test_blocks, bench_ours  # noqa: E402
+
+
+def main():
+    from convectionkernels_tpu import Options
+    from convectionkernels_tpu.api import _bc6h_fn, _bc7_fn, _eac_fn, _etc_fn
+    from convectionkernels_tpu.bc7_plan import plan_from_quality
+
+    fmts = sys.argv[1:] or ["etc2", "bc6hu", "bc7_q50"]
+    opt = Options()
+    rng = np.random.default_rng(44)
+
+    builders = {
+        "etc2": (lambda: _etc_fn(opt, "etc2").body, blockify_test_image),
+        "eac_r11": (lambda: _eac_fn(opt, False).body,
+                    lambda n: rng.integers(0, 2048, size=(n, 16),
+                                           dtype=np.int16)),
+        "bc6hu": (lambda: _bc6h_fn(opt, False).body, hdr_test_blocks),
+        "bc7_q50": (lambda: _bc7_fn(opt, plan_from_quality(50)).body,
+                    blockify_test_image),
+    }
+
+    for fmt in fmts:
+        make_body, make_px = builders[fmt]
+        body = make_body()
+        import jax
+        jitted = jax.jit(body)
+        for n in (4096, 8192, 16384, 32768):
+            px = make_px(n)
+            try:
+                t0 = time.perf_counter()
+                rate = bench_ours(jitted, px)
+                wall = time.perf_counter() - t0
+            except Exception as exc:
+                print(f"{fmt} chunk={n}: FAILED {type(exc).__name__}: "
+                      f"{str(exc)[:160]}", flush=True)
+                break
+            print(f"{fmt} chunk={n}: {rate:.2f} Mtexels/s "
+                  f"(incl-compile wall {wall:.0f}s)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
