@@ -120,7 +120,7 @@ def bench_ours(fn, pixels):
     return pixels.shape[0] * 16 / best / 1e6
 
 
-def bench_reference(name, pixels, iters=2, **kwargs):
+def bench_reference(name, pixels, iters=1, **kwargs):
     """Reference CVTT SSE2 build at -O2, single core."""
     from tests.oracle.cvtt_oracle import CvttOracle, OracleOptions
 
@@ -137,11 +137,18 @@ def bench_reference(name, pixels, iters=2, **kwargs):
 
 
 def main():
+    import os
+
     from convectionkernels_tpu import Options
     from convectionkernels_tpu.api import (_bc1_fn, _bc3_fn, _bc6h_fn,
                                            _bc7_fn, _eac_fn, _etc_fn)
     from convectionkernels_tpu.bc7_plan import (BC7EncodingPlan,
                                                 plan_from_quality)
+
+    # Skip-and-log remaining formats when the wall-clock deadline nears:
+    # one slow format must never starve the rest of the record (VERDICT r2).
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+    deadline = time.perf_counter() + budget_s
 
     opt = Options()
     px = blockify_test_image(BENCH_BLOCKS)
@@ -158,23 +165,31 @@ def main():
     ref_s16 = s16[:REF_SLICE_BLOCKS]
 
     results = {}
-    headline = None
+    # Headline format FIRST so its JSON lands even if a later format blows
+    # the budget; then the formats with no prior recorded measurement
+    # (bc6hu, bc7_q100), then the rest. Reference slices for the ultra-slow
+    # oracle configs are shrunk so SSE2 time stays bounded (rates are
+    # stable well below these counts).
     for name, fn, pixels, ref in [
+        ("bc7_q50", _bc7_fn(opt, plan_from_quality(50)), px,
+         ("bc7", ref_px[:1024], {"quality": 50})),
+        ("bc6hu", _bc6h_fn(opt, False), hdr,
+         ("bc6h", ref_hdr[:256], {"signed": False})),
+        ("bc7_q100", _bc7_fn(opt, BC7EncodingPlan()), px,
+         ("bc7", ref_px[:128], {"quality": 0})),
         ("bc1", _bc1_fn(opt), px, ("bc1", ref_px, {})),
         ("bc3", _bc3_fn(opt), px, ("bc3", ref_px, {})),
         ("etc2", _etc_fn(opt, "etc2"), px,
-         ("etc2", ref_px, {})),
+         ("etc2", ref_px[:1024], {})),
         ("etc2_punchthrough", _etc_fn(opt, "etc2_pt"), px_alpha,
-         ("etc2_punchthrough", px_alpha[:REF_SLICE_BLOCKS], {})),
+         ("etc2_punchthrough", px_alpha[:1024], {})),
         ("eac_r11", _eac_fn(opt, False), s16,
          ("eac11", ref_s16, {})),
-        ("bc7_q50", _bc7_fn(opt, plan_from_quality(50)), px,
-         ("bc7", ref_px, {"quality": 50})),
-        ("bc7_q100", _bc7_fn(opt, BC7EncodingPlan()), px,
-         ("bc7", ref_px[:512], {"quality": 0})),
-        ("bc6hu", _bc6h_fn(opt, False), hdr,
-         ("bc6h", ref_hdr[:512], {"signed": False})),
     ]:
+        if name != "bc7_q50" and time.perf_counter() > deadline - 60:
+            print(f"{name}: SKIPPED (bench budget {budget_s:.0f}s exhausted)",
+                  file=sys.stderr, flush=True)
+            continue
         # profile ONE chunk-sized program execution: the chunked wrapper's
         # 16 dispatches each re-upload the executable through the tunnel,
         # which overflows the profiler window; one chunk is the honest
@@ -194,16 +209,17 @@ def main():
               f"{ref_rate:.3f} Mtexels/s, speedup {ours / ref_rate:.1f}x",
               file=sys.stderr, flush=True)
         if name == "bc7_q50":
-            headline = (ours, ref_rate)
+            # emit the headline JSON the moment it exists — nothing that
+            # happens later in the run can lose it
+            print(json.dumps({
+                "metric": "bc7_q50_encode_throughput",
+                "value": round(ours, 3),
+                "unit": "Mtexels/s",
+                "vs_baseline": round(ours / ref_rate, 3),
+            }), flush=True)
 
-    assert headline is not None, "bc7_q50 headline entry missing from bench list"
-    ours, ref_rate = headline
-    print(json.dumps({
-        "metric": "bc7_q50_encode_throughput",
-        "value": round(ours, 3),
-        "unit": "Mtexels/s",
-        "vs_baseline": round(ours / ref_rate, 3),
-    }))
+    if "bc7_q50" not in results:
+        raise SystemExit("bc7_q50 headline measurement failed")
 
 
 if __name__ == "__main__":

@@ -281,13 +281,14 @@ def encode_bc7(pixels, options: Options = Options(), plan=None, quality=None):
 def _etc_fn(options: Options, kind: str):
     from .models import etc
 
+    if kind == "etc2_pt":
+        return _etc2_pt_dispatch(options)
+
     def fn(pixels):
         if kind == "etc1":
             return etc.compress_etc1(pixels, options)
         if kind == "etc2":
             return etc.compress_etc2(pixels, options, False)
-        if kind == "etc2_pt":
-            return etc.compress_etc2(pixels, options, True)
         if kind == "etc2_alpha":
             return etc.compress_etc2_alpha(pixels, options)
         if kind == "etc2_rgba":
@@ -297,6 +298,65 @@ def _etc_fn(options: Options, kind: str):
         raise ValueError(kind)
 
     return _wrap(fn, _CHUNK_HEAVY)
+
+
+@functools.lru_cache(maxsize=None)
+def _etc2_pt_only_fn(options: Options):
+    from .models import etc
+
+    def fn(pixels):
+        return etc.compress_etc2_punchthrough_only(pixels, options)
+
+    return _wrap(fn, _CHUNK_HEAVY)
+
+
+@functools.lru_cache(maxsize=None)
+def _etc2_pt_dispatch(options: Options):
+    """ETC2 punchthrough: host dispatch over the transparency split.
+
+    Per-lane, CompressETC2Block's result is EITHER the opaque stages
+    (no transparent pixel — identical math to the plain ETC2 program,
+    since the zeroing wheres and num_opaque==16 scale factors are
+    identities) OR the punchthrough stages (any transparent pixel — the
+    opaque results are discarded by the FLT_MAX reset, ETC.cpp:1874).
+    Routing each block to the program it actually needs is the TPU-native
+    form of the reference's AnySet/AllSet group skips and avoids running
+    the large opaque candidate scan on transparent blocks (and vice
+    versa). Bit-exactness vs the monolithic program is pinned by the
+    oracle golden tests on mixed-alpha inputs (tests/test_etc.py).
+
+    `.body` stays the monolithic single-program form so the sharded path
+    (parallel.sharding) can trace one program; `.jitted_body`/`.chunk`
+    expose the punchthrough-only program (the hot path for
+    transparency-bearing workloads) for bench/profiling.
+    """
+    from .models import etc
+
+    opaque_fn = _etc_fn(options, "etc2")
+    pt_fn = _etc2_pt_only_fn(options)
+
+    f_thr = max(min(1.0, options.threshold), 0.0) * 255.0
+    thr = int(np.floor(np.float32(f_thr) + 1.0))
+
+    def run(pixels):
+        px = np.asarray(pixels)
+        any_t = (px[:, :, 3] < thr).any(axis=1)
+        if not any_t.any():
+            return opaque_fn(px)
+        if any_t.all():
+            return pt_fn(px)
+        out = np.empty((px.shape[0], 8), dtype=np.uint8)
+        out[~any_t] = np.asarray(opaque_fn(px[~any_t]))
+        out[any_t] = np.asarray(pt_fn(px[any_t]))
+        return jnp.asarray(out)
+
+    def body(pixels):
+        return etc.compress_etc2(pixels, options, True)
+
+    run.body = body
+    run.chunk = pt_fn.chunk
+    run.jitted_body = pt_fn.jitted_body
+    return run
 
 
 @functools.lru_cache(maxsize=None)

@@ -240,9 +240,6 @@ def _truncate_signed(v, precision: int):
     return (v << shift) >> shift
 
 
-DEBUG_STATE = None  # test hook: set to a dict to capture search state
-
-
 def pack(pixels_f16bits, flags: int, channel_weights, is_signed: bool,
          num_tweak_rounds: int, num_refine_rounds: int):
     """BC6HComputer::Pack (BC67.cpp:2665-3051). Returns uint8 [N, 16].
@@ -675,19 +672,6 @@ def pack(pixels_f16bits, flags: int, channel_weights, is_signed: bool,
                     extra_valid=jnp.isfinite(win_err))
 
         rank_base += num_parts * max_meta * max_meta
-
-        if DEBUG_STATE is not None:
-            DEBUG_STATE.setdefault("groups", []).append(dict(
-                partitioned=partitioned, aprec=aprec,
-                err0=err0_all, val0=val0_all,
-                ep0=ep0_all,
-                totals=totals, any_legal=any_legal,
-                win_err=win_err, win_part=win_part, win_m0=win_m0,
-                win_m1=win_m1, chosen_mode=chosen_mode))
-
-    if DEBUG_STATE is not None:
-        DEBUG_STATE["best"] = dict(error=best.error, rank=best.rank,
-                                   **best.payload)
 
     return _pack_bits(best, n)
 

@@ -1174,9 +1174,6 @@ def try_dual_plane(pixels, float_pixels, channel_weights, flags,
 
 # --- Top level ----------------------------------------------------------------
 
-DEBUG_STATE = None  # test hook: set to a dict to capture candidates
-
-
 def pack(pixels_u8, flags: int, channel_weights, plan: BC7EncodingPlan,
          num_refine_rounds: int):
     """BC7Computer::Pack (BC67.cpp:1975-2204). Returns uint8 [N, 16]."""
@@ -1220,9 +1217,6 @@ def pack(pixels_u8, flags: int, channel_weights, plan: BC7EncodingPlan,
         ep=[[[zero for _ in range(4)] for _ in range(2)] for _ in range(3)],
         indexes=[zero] * 16, indexes2=[zero] * 16,
     )
-
-    if DEBUG_STATE is not None:
-        DEBUG_STATE["candidates"] = sp + dp
 
     for cand in sp + dp:
         rank = cand["rank"] if isinstance(cand["rank"], jnp.ndarray) \

@@ -278,8 +278,7 @@ def compress_etc1_internal(stage: StageBest, rank_base: int, pixels, pw,
                     win = lanes.first_argmin(flat_err, -1)
 
                     def gather(x, win=win):
-                        return jnp.take_along_axis(x.reshape(n, -1),
-                                                   win[:, None], axis=1)[:, 0]
+                        return lanes.take_winner(x.reshape(n, -1), win)
 
                     ind_best[sector] = dict(
                         error=gather(flat_err),
@@ -399,14 +398,14 @@ def _resolve_differential(diff_data, n, can_ignore=None):
     wini = jnp.minimum(wini, a_count - 1)
 
     def g0(x):
-        return jnp.take_along_axis(x, wini[:, None], axis=1)[:, 0]
+        return lanes.take_winner(x, wini)
 
     win_total = g0(total)
     valid = jnp.isfinite(win_total)
     winj = jnp.where(valid, g0(minuj) % a_count, 0)
 
     def g1(x):
-        return jnp.take_along_axis(x, winj[:, None], axis=1)[:, 0]
+        return lanes.take_winner(x, winj)
 
     def vz(x):
         return jnp.where(valid, x, 0)
@@ -536,85 +535,84 @@ def encode_tmode(stage: StageBest, rank_base: int, is_isolated, pixels, pw,
                                        options))
 
     # line-color candidate scan: premultiplier in [-16,16] (per-lane clamped
-    # to +-numLine; clamp duplicates carry identical payloads)
+    # to +-numLine; clamp duplicates carry identical payloads). The 8
+    # modifier tables x 33 offsets form ONE flattened table-major candidate
+    # axis (K=264) — see the virtual-T docstring for why this layout and
+    # why first_argmin over it preserves the reference's (table, offset)
+    # first-wins tie order.
     line_divisors = num_line * 34
     line_addend = (num_line << 4) | num_line
-    max_line = num_line
-    min_line = -num_line
+    th_mods = np.asarray(etc_tables.TH_MODIFIER_TABLE, dtype=np.int32)
+    n_offs = 33
+    K = 8 * n_offs
 
-    best = None
-    for table in range(8):
-        modifier = int(etc_tables.TH_MODIFIER_TABLE[table])
-        offs = np.arange(-16, 17, dtype=np.int32)  # [C=33]
-        offs_b = jnp.asarray(offs)[None, :]
-        clamped = jnp.maximum(min_line[:, None],
-                              jnp.minimum(max_line[:, None], offs_b))
-        mod_addend = clamped * (2 * modifier)
+    offs = np.arange(-16, 17, dtype=np.int32)  # [33]
+    offs_b = jnp.asarray(offs)[None, :]
+    clamped = jnp.maximum(-num_line[:, None],
+                          jnp.minimum(num_line[:, None], offs_b))  # [N,33]
+    mod_addend = (clamped[:, None, :]
+                  * (2 * th_mods)[None, :, None]).reshape(n, K)
+    mod_k = jnp.asarray(np.repeat(th_mods, n_offs))[None, :]       # [1,K]
 
-        quantized = []
-        targets = []
-        for ch in range(3):
-            numer = jnp.maximum(
-                0, (line_total[ch] + line_total[ch] + line_addend)[:, None]
-                + mod_addend) if not fake else jnp.maximum(
-                0, (line_total[ch] + line_total[ch])[:, None] + mod_addend)
-            q = jnp.minimum(15, _div_exact_int(numer, line_divisors[:, None]))
-            quantized.append(q)
-            targets.append(numer)
+    quantized = []
+    targets = []
+    for ch in range(3):
         if fake:
-            quantized = _resolve_th_fake_bt709(quantized, targets,
-                                               num_line[:, None])
-            quantized = [jnp.minimum(15, q) for q in quantized]
-        packed = quantized[0] | (quantized[1] << 5) | (quantized[2] << 10)
-
-        # per-candidate: line colors (16ths expansion +- modifier)
-        line_colors = []  # [3 selector variants][3 ch] of [N,C]
-        unq = [((packed >> (ch * 5)) & 15) for ch in range(3)]
-        unq = [(q << 4) | q for q in unq]
-        line_colors = [
-            [jnp.minimum(255, unq[ch] + modifier) for ch in range(3)],
-            [unq[ch] for ch in range(3)],
-            [jnp.maximum(0, unq[ch] - modifier) for ch in range(3)],
-        ]
-
-        # NOTE: line-color errors use Uniform/Weighted even under FakeBT709
-        # (EncodeTMode, ETC.cpp:607-612) — under the fake flag the weighted
-        # error then compares RGB*weights against YUV-preweighted pixels,
-        # replicating the reference's behavior.
-        opts_no_fake = Options(
-            flags=options.flags & ~Flags.ETC_USE_FAKE_BT709,
-            red_weight=options.red_weight, green_weight=options.green_weight,
-            blue_weight=options.blue_weight)
-        error = None
-        selectors = None
-        for px in range(16):
-            pix = [pixels[px][ch][:, None] for ch in range(3)]
-            pwp = [pw[px][ch][:, None] for ch in range(3)]
-            px_err = jnp.broadcast_to(iso_error[px][:, None], packed.shape)
-            px_sel = jnp.zeros_like(packed)
-            for i in range(3):
-                e = compute_error(line_colors[i], pix, pwp, opts_no_fake)
-                better = e < px_err
-                px_err = jnp.minimum(e, px_err)
-                px_sel = jnp.where(better, i + 1, px_sel)
-            error = px_err if error is None else error + px_err
-            sel_shift = px_sel << (px * 2)
-            selectors = sel_shift if selectors is None \
-                else selectors | sel_shift
-
-        # candidate reduce in dense order (== unique order within table)
-        win = lanes.first_argmin(error, -1)
-
-        def g(x, win=win):
-            return jnp.take_along_axis(x, win[:, None], axis=1)[:, 0]
-
-        cand = dict(error=g(error), packed=g(packed), selectors=g(selectors),
-                    table=jnp.full((n,), table, dtype=jnp.int32))
-        if best is None:
-            best = cand
+            base = line_total[ch] + line_total[ch]
         else:
-            better = cand["error"] < best["error"]
-            best = {k: jnp.where(better, cand[k], best[k]) for k in cand}
+            base = line_total[ch] + line_total[ch] + line_addend
+        numer = jnp.maximum(0, base[:, None] + mod_addend)
+        q = jnp.minimum(15, _div_exact_int(numer, line_divisors[:, None]))
+        quantized.append(q)
+        targets.append(numer)
+    if fake:
+        quantized = _resolve_th_fake_bt709(quantized, targets,
+                                           num_line[:, None])
+        quantized = [jnp.minimum(15, q) for q in quantized]
+    packed = quantized[0] | (quantized[1] << 5) | (quantized[2] << 10)
+
+    # per-candidate: line colors (16ths expansion +- modifier)
+    unq = [((packed >> (ch * 5)) & 15) for ch in range(3)]
+    unq = [(q << 4) | q for q in unq]
+    line_colors = [
+        [jnp.minimum(255, unq[ch] + mod_k) for ch in range(3)],
+        [unq[ch] for ch in range(3)],
+        [jnp.maximum(0, unq[ch] - mod_k) for ch in range(3)],
+    ]
+
+    # NOTE: line-color errors use Uniform/Weighted even under FakeBT709
+    # (EncodeTMode, ETC.cpp:607-612) — under the fake flag the weighted
+    # error then compares RGB*weights against YUV-preweighted pixels,
+    # replicating the reference's behavior.
+    opts_no_fake = Options(
+        flags=options.flags & ~Flags.ETC_USE_FAKE_BT709,
+        red_weight=options.red_weight, green_weight=options.green_weight,
+        blue_weight=options.blue_weight)
+    error = None
+    selectors = None
+    for px in range(16):
+        pix = [pixels[px][ch][:, None] for ch in range(3)]
+        pwp = [pw[px][ch][:, None] for ch in range(3)]
+        px_err = jnp.broadcast_to(iso_error[px][:, None], packed.shape)
+        px_sel = jnp.zeros_like(packed)
+        for i in range(3):
+            e = compute_error(line_colors[i], pix, pwp, opts_no_fake)
+            better = e < px_err
+            px_err = jnp.minimum(e, px_err)
+            px_sel = jnp.where(better, i + 1, px_sel)
+        error = px_err if error is None else error + px_err
+        sel_shift = px_sel << (px * 2)
+        selectors = sel_shift if selectors is None \
+            else selectors | sel_shift
+
+    # candidate reduce in dense (table, offset) order == unique order
+    win = lanes.first_argmin(error, -1)
+
+    def g(x, win=win):
+        return lanes.take_winner(x, win)
+
+    best = dict(error=g(error), packed=g(packed), selectors=g(selectors),
+                table=win // n_offs)
 
     line_color = [(best["packed"] >> (ch * 5)) & 15 for ch in range(3)]
     hi, lo = _emit_tmode(line_color, iso_avg_q, best["selectors"],
@@ -648,9 +646,6 @@ def _resolve_th_fake_bt709(quantized, targets, granularity):
             best_octant = jnp.where(better, octant, best_octant)
             best_err = jnp.minimum(err, best_err)
     return [quantized[ch] + ((best_octant >> ch) & 1) for ch in range(3)]
-
-
-DEBUG_H = None  # test hook; only valid with jit disabled (captures tracers under jit)
 
 
 def encode_hmode(stage: StageBest, rank_base: int, groupings, pixels, pw,
@@ -774,10 +769,6 @@ def encode_hmode(stage: StageBest, rank_base: int, groupings, pixels, pw,
             sign_bits=g(sign_bits),
             table=jnp.full((n,), table, dtype=jnp.int32),
         )
-        if DEBUG_H is not None:
-            DEBUG_H.append(dict(table=table, total=total,
-                                colors0=sector_colors[0],
-                                colors1=sector_colors[1], u0=u0, u1=u1))
         if best is None:
             best = cand
         else:
@@ -1159,6 +1150,48 @@ def compress_etc2(pixels_u8, options: Options, punchthrough_alpha: bool):
     return stage.to_bytes()
 
 
+def compress_etc2_punchthrough_only(pixels_u8, options: Options):
+    """Punchthrough-only ETC2 program for blocks with >=1 transparent pixel.
+
+    For any lane with transparency, CompressETC2Block discards every
+    opaque-stage result (the bestError reset to FLT_MAX, ETC.cpp:1874) and
+    the punchthrough stages always produce a finite error, so the encoded
+    block is fully determined by the virtual-T and punchthrough-ETC1
+    stages. The host dispatcher (api._etc2_pt_dispatch) routes blocks here
+    by their transparency classification — the TPU-native analogue of the
+    reference's group-level AnySet/AllSet stage skips (ETC.cpp:1849-1885)
+    — which skips the (much larger) opaque candidate scan entirely.
+    Opaque lanes (only ever padding) get valid-but-arbitrary output.
+    Stage ranks match compress_etc2 so tie resolution is identical.
+    """
+    pixels, pw = extract_blocks(pixels_u8, options)
+    n = pixels[0][0].shape[0]
+    p = jnp.asarray(pixels_u8, dtype=jnp.int32)
+
+    f_thr = max(min(1.0, options.threshold), 0.0) * 255.0
+    thr = int(np.floor(np.float32(f_thr) + 1.0))
+    is_transparent = [p[:, px, 3] < thr for px in range(16)]
+    for px in range(16):
+        for ch in range(3):
+            pixels[px][ch] = jnp.where(is_transparent[px], 0,
+                                       pixels[px][ch])
+            pw[px][ch] = jnp.where(is_transparent[px], np.float32(0.0),
+                                   pw[px][ch])
+    num_opaque = 16 - sum(t.astype(jnp.int32) for t in is_transparent)
+
+    stage = StageBest(n)
+    sectors = _sector_assignments(pixels, pw, options, is_transparent,
+                                  num_opaque, True)
+    flipped = [~s for s in sectors]
+    encode_virtual_tmode_punchthrough(
+        stage, 10, sectors, pixels, pw, is_transparent, options)
+    encode_virtual_tmode_punchthrough(
+        stage, 11, flipped, pixels, pw, is_transparent, options)
+    compress_etc1_punchthrough(stage, 12, pixels, pw, is_transparent,
+                               options)
+    return stage.to_bytes()
+
+
 def compress_etc2_alpha(pixels_u8, options: Options):
     """CompressETC2AlphaBlock (ETC.cpp:1889-1900): 8-bit alpha plane."""
     p = jnp.asarray(pixels_u8, dtype=jnp.int32)
@@ -1296,10 +1329,11 @@ def _compress_alpha_internal(pixels, is_11bit: bool, is_signed: bool):
     win = lanes.first_argmin(total, -1)
 
     def g(x):
-        return jnp.take_along_axis(x, win[:, None], axis=1)[:, 0]
+        return lanes.take_winner(x, win)
 
     best_err = g(total)
-    best_table = jnp.take(jnp.asarray(cand_table), win)
+    best_table = g(jnp.broadcast_to(jnp.asarray(cand_table)[None, :],
+                                    total.shape))
     best_base = g(base)
     best_mult = g(mult)
     best_idx = [g(idx_list[px]) for px in range(16)]
@@ -1365,13 +1399,19 @@ def _quantize_etc2_alpha(table_index, value, base, mult, is_11bit, is_signed,
     return q, out_index
 
 
-DEBUG_VT = None  # test hook; only valid with jit disabled (captures tracers under jit)
-
-
 def encode_virtual_tmode_punchthrough(stage, rank_base, is_isolated_base,
                                       pixels, pw, is_transparent,
                                       options: Options):
-    """EncodeVirtualTModePunchthrough (ETC.cpp:888-1264)."""
+    """EncodeVirtualTModePunchthrough (ETC.cpp:888-1264).
+
+    The 8 modifier tables x 17 premultiplier steps form ONE flattened
+    table-major candidate axis (K=136): every per-pixel error evaluation
+    runs once over [N, K] instead of 8x over [N, 17], which both cuts the
+    op count ~8x and fills the TPU's 128-lane registers (17-wide ops pad
+    to 128 lanes at 13% utilization). first_argmin over the table-major
+    axis reproduces the reference's (table, step) first-wins tie order
+    exactly (the old per-table strict-less merge loop).
+    """
     n = pixels[0][0].shape[0]
     fake = bool(options.flags & Flags.ETC_USE_FAKE_BT709)
 
@@ -1394,25 +1434,36 @@ def encode_virtual_tmode_punchthrough(stage, rank_base, is_isolated_base,
 
     divisors = num_iso * 34
     addend = (num_iso << 4) | num_iso
-    th_mods = etc_tables.TH_MODIFIER_TABLE
+    th_mods = np.asarray(etc_tables.TH_MODIFIER_TABLE, dtype=np.int32)  # [8]
+    # The reference scans 17 steps (ETC.cpp:1015), but step 16 always
+    # clamps to the same +L candidate as step 15 for every lane with
+    # num_line <= 15 — i.e. every lane with a transparent pixel, the only
+    # lanes whose virtual-T result the caller keeps (opaque lanes are
+    # masked out by compress_etc2's lane gate / discarded as padding in
+    # the punchthrough-only program). Trailing duplicates never win a
+    # first-wins argmin, so 16 steps give K = 8*16 = 128: one full TPU
+    # register row with zero lane padding.
+    n_steps = 16
+    K = 8 * n_steps
+
     iso_avg_q = []
     iso_targets = []
-    h_iso_q = [[None] * 3 for _ in range(8)]
     for ch in range(3):
         numerator = iso_total[ch] + iso_total[ch]
         if not fake:
             numerator = numerator + addend
         iso_avg_q.append(_div_exact_int(numerator, divisors))
         iso_targets.append(numerator)
-        for table in range(8):
-            off_total = iso_total[ch] + int(th_mods[table]) * num_iso
-            h_num = (off_total + off_total) + addend
-            h_iso_q[table][ch] = _div_exact_int(h_num, divisors)
     if fake:
         iso_avg_q = _resolve_th_fake_bt709(iso_avg_q, iso_targets, num_iso)
-    for table in range(8):
-        for ch in range(3):
-            h_iso_q[table][ch] = jnp.minimum(15, h_iso_q[table][ch])
+
+    # H-mode isolated colors for all 8 tables at once: [N, 8]
+    h_iso_q = []
+    for ch in range(3):
+        off_total = iso_total[ch][:, None] + th_mods[None, :] * num_iso[:, None]
+        h_num = (off_total + off_total) + addend[:, None]
+        h_iso_q.append(jnp.minimum(15, _div_exact_int(h_num,
+                                                      divisors[:, None])))
 
     iso_color = [(q) | (q << 4) for q in iso_avg_q]
     iso_error = []
@@ -1428,133 +1479,125 @@ def encode_virtual_tmode_punchthrough(stage, rank_base, is_isolated_base,
         red_weight=options.red_weight, green_weight=options.green_weight,
         blue_weight=options.blue_weight)
 
-    best = None
-    for table in range(8):
-        modifier = int(th_mods[table])
-        # premultiplier scan: -L..L step 2 per lane (ETC.cpp:1015-1044) --
-        # the offsets share the parity of the lane's own line-pixel count
-        # (clusterMinLine = -numPixelsLine in the scalar build). Steps past
-        # +L clamp to +L, duplicating the last candidate (harmless for the
-        # first-wins argmin, mirroring the reference's consecutive dedup).
-        steps = jnp.asarray(np.arange(0, 17, dtype=np.int32))[None, :]
-        clamped = jnp.minimum(num_line[:, None],
-                              -num_line[:, None] + 2 * steps)
-        mod_addend = clamped * (2 * modifier)
+    # premultiplier scan: -L..L step 2 per lane (ETC.cpp:1015-1044) --
+    # the offsets share the parity of the lane's own line-pixel count
+    # (clusterMinLine = -numPixelsLine in the scalar build). Steps past
+    # +L clamp to +L, duplicating the last candidate (harmless for the
+    # first-wins argmin, mirroring the reference's consecutive dedup).
+    steps = jnp.asarray(np.arange(0, n_steps, dtype=np.int32))[None, :]
+    clamped = jnp.minimum(num_line[:, None],
+                          -num_line[:, None] + 2 * steps)  # [N, 17]
+    mod_addend = (clamped[:, None, :]
+                  * (2 * th_mods)[None, :, None]).reshape(n, K)
 
-        quantized = []
-        targets = []
-        for ch in range(3):
-            if fake:
-                numer = jnp.maximum(0, (line_total[ch] * 2)[:, None]
-                                    + mod_addend)
-            else:
-                numer = jnp.maximum(
-                    0, (line_total[ch] * 2 + line_addend)[:, None]
-                    + mod_addend)
-            q = jnp.minimum(15, _div_exact_int(numer,
-                                               line_divisors[:, None]))
-            quantized.append(q)
-            targets.append(numer)
+    quantized = []
+    targets = []
+    for ch in range(3):
         if fake:
-            quantized = _resolve_th_fake_bt709(quantized, targets,
-                                               num_line[:, None])
-            quantized = [jnp.minimum(15, q) for q in quantized]
-        # NOTE: punchthrough T packs channels reversed (r<<10) vs opaque T
-        packed = (quantized[0] << 10) | (quantized[1] << 5) | quantized[2]
-
-        # H-mode isolated color for this table
-        h_unq = [(h_iso_q[table][ch] << 4) | h_iso_q[table][ch]
-                 for ch in range(3)]
-        h_color = [jnp.maximum(0, h_unq[ch] - modifier) for ch in range(3)]
-        h_errors = []
-        for px in range(16):
-            e = compute_error(h_color, pixels[px], pw[px], opts_no_fake)
-            h_errors.append(jnp.where(is_transparent[px], np.float32(0.0),
-                                      e))
-        packed_h2 = (h_iso_q[table][0] << 10) | (h_iso_q[table][1] << 5) \
-            | h_iso_q[table][2]
-        table_low_bit_zero = (table & 1) == 0
-
-        # per-candidate line colors (2 selectors: +M, -M)
-        unq = [((packed >> (10 - ch * 5)) & 15) for ch in range(3)]
-        unq = [(q << 4) | q for q in unq]
-        line_colors = [
-            [jnp.minimum(255, unq[ch] + modifier) for ch in range(3)],
-            [jnp.maximum(0, unq[ch] - modifier) for ch in range(3)],
-        ]
-
-        t_err = None
-        h_err = None
-        line_best_err = []
-        line_best_sel = []
-        for px in range(16):
-            pix = [pixels[px][ch][:, None] for ch in range(3)]
-            pwp = [pw[px][ch][:, None] for ch in range(3)]
-            e0 = compute_error(line_colors[0], pix, pwp, opts_no_fake)
-            e1 = compute_error(line_colors[1], pix, pwp, opts_no_fake)
-            # scalar LessOrEqual is `<` (ParallelMath.h:1589-1597)
-            first_better = e0 < e1
-            sel = jnp.where(first_better, 1, 3)
-            le = jnp.minimum(e0, e1)
-            le = jnp.where(is_transparent[px][:, None], np.float32(0.0), le)
-            line_best_err.append(le)
-            line_best_sel.append(sel)
-            te = jnp.minimum(le, iso_error[px][:, None])
-            he = jnp.minimum(le, h_errors[px][:, None])
-            t_err = te if t_err is None else t_err + te
-            h_err = he if h_err is None else h_err + he
-
-        h_less = h_err < t_err
-        h_must_zero = packed < packed_h2[:, None]
-        h_legal = h_must_zero == table_low_bit_zero
-        use_h = h_less & h_legal
-        round_err = jnp.where(use_h, h_err, t_err)
-
-        selectors = None
-        for px in range(16):
-            sel = line_best_sel[px]
-            iso_px_err = jnp.where(use_h, h_errors[px][:, None],
-                                   iso_error[px][:, None])
-            iso_better = iso_px_err < line_best_err[px]
-            sel = jnp.where(iso_better, 0, sel)
-            sel = jnp.where(is_transparent[px][:, None], 2, sel)
-            s = sel << (px * 2)
-            selectors = s if selectors is None else selectors | s
-
-        win = lanes.first_argmin(round_err, -1)
-
-        def g(x, win=win):
-            return jnp.take_along_axis(x, win[:, None], axis=1)[:, 0]
-
-        cand = dict(error=g(round_err), packed=g(packed), selectors=g(selectors),
-                    use_h=g(use_h), h2=packed_h2,
-                    table=jnp.full((n,), table, dtype=jnp.int32))
-        if DEBUG_VT is not None:
-            DEBUG_VT.append(dict(table=table, round_err=round_err,
-                                 packed=packed, use_h=use_h, h2=packed_h2,
-                                 t_err=t_err, h_err=h_err,
-                                 h_legal=h_legal, iso_q=list(iso_avg_q),
-                                 h_iso_q=[h_iso_q[table][ch] for ch in range(3)]))
-        if best is None:
-            best = cand
+            base = line_total[ch] * 2
         else:
-            better = cand["error"] < best["error"]
-            best = {k: jnp.where(better, cand[k], best[k]) for k in cand}
+            base = line_total[ch] * 2 + line_addend
+        numer = jnp.maximum(0, base[:, None] + mod_addend)
+        q = jnp.minimum(15, _div_exact_int(numer, line_divisors[:, None]))
+        quantized.append(q)
+        targets.append(numer)
+    if fake:
+        quantized = _resolve_th_fake_bt709(quantized, targets,
+                                           num_line[:, None])
+        quantized = [jnp.minimum(15, q) for q in quantized]
+    # NOTE: punchthrough T packs channels reversed (r<<10) vs opaque T
+    packed = (quantized[0] << 10) | (quantized[1] << 5) | quantized[2]
+
+    # per-candidate static vectors over K
+    mod_k = jnp.asarray(np.repeat(th_mods, n_steps))[None, :]       # [1,K]
+    tlbz_k = jnp.asarray((np.repeat(np.arange(8), n_steps) & 1)
+                         == 0)[None, :]                             # [1,K]
+
+    def per_table_to_k(x):  # [N, 8] -> [N, K] (table-major)
+        return jnp.broadcast_to(x[:, :, None],
+                                (n, 8, n_steps)).reshape(n, K)
+
+    h_q_k = [per_table_to_k(h_iso_q[ch]) for ch in range(3)]
+    h_unq = [(q << 4) | q for q in h_q_k]
+    h_color = [jnp.maximum(0, h_unq[ch] - mod_k) for ch in range(3)]
+    packed_h2 = (h_q_k[0] << 10) | (h_q_k[1] << 5) | h_q_k[2]       # [N,K]
+
+    h_errors = []
+    for px in range(16):
+        e = compute_error(h_color, [pixels[px][ch][:, None]
+                                    for ch in range(3)],
+                          [pw[px][ch][:, None] for ch in range(3)],
+                          opts_no_fake)
+        h_errors.append(jnp.where(is_transparent[px][:, None],
+                                  np.float32(0.0), e))
+
+    # per-candidate line colors (2 selectors: +M, -M)
+    unq = [((packed >> (10 - ch * 5)) & 15) for ch in range(3)]
+    unq = [(q << 4) | q for q in unq]
+    line_colors = [
+        [jnp.minimum(255, unq[ch] + mod_k) for ch in range(3)],
+        [jnp.maximum(0, unq[ch] - mod_k) for ch in range(3)],
+    ]
+
+    t_err = None
+    h_err = None
+    line_best_err = []
+    line_best_sel = []
+    for px in range(16):
+        pix = [pixels[px][ch][:, None] for ch in range(3)]
+        pwp = [pw[px][ch][:, None] for ch in range(3)]
+        e0 = compute_error(line_colors[0], pix, pwp, opts_no_fake)
+        e1 = compute_error(line_colors[1], pix, pwp, opts_no_fake)
+        # scalar LessOrEqual is `<` (ParallelMath.h:1589-1597)
+        first_better = e0 < e1
+        sel = jnp.where(first_better, 1, 3)
+        le = jnp.minimum(e0, e1)
+        le = jnp.where(is_transparent[px][:, None], np.float32(0.0), le)
+        line_best_err.append(le)
+        line_best_sel.append(sel)
+        te = jnp.minimum(le, iso_error[px][:, None])
+        he = jnp.minimum(le, h_errors[px])
+        t_err = te if t_err is None else t_err + te
+        h_err = he if h_err is None else h_err + he
+
+    h_less = h_err < t_err
+    h_must_zero = packed < packed_h2
+    h_legal = h_must_zero == tlbz_k
+    use_h = h_less & h_legal
+    round_err = jnp.where(use_h, h_err, t_err)
+
+    selectors = None
+    for px in range(16):
+        sel = line_best_sel[px]
+        iso_px_err = jnp.where(use_h, h_errors[px], iso_error[px][:, None])
+        iso_better = iso_px_err < line_best_err[px]
+        sel = jnp.where(iso_better, 0, sel)
+        sel = jnp.where(is_transparent[px][:, None], 2, sel)
+        s = sel << (px * 2)
+        selectors = s if selectors is None else selectors | s
+
+    win = lanes.first_argmin(round_err, -1)
+
+    def g(x, win=win):
+        return lanes.take_winner(x, win)
+
+    best = dict(error=g(round_err), packed=g(packed),
+                selectors=g(selectors), use_h=g(use_h), h2=g(packed_h2),
+                table=win // n_steps)
 
     # emit: H-mode remap when use_h (ETC.cpp:1240-1260)
     line_color = [(best["packed"] >> (10 - ch * 5)) & 15 for ch in range(3)]
     t_hi, t_lo = _emit_tmode(line_color, iso_avg_q, best["selectors"],
                              best["table"], False, n)
 
-    remap_sector = np.array([1, 0, 1, 0], dtype=np.int32)
-    remap_sign = np.array([1, 0, 0, 1], dtype=np.int32)
+    # selector remaps as bit math (no device table gathers):
+    # sector [1,0,1,0] == (sel & 1) ^ 1; sign [1,0,0,1] == gray(sel) ^ 1
     sector_bits = jnp.zeros((n,), dtype=jnp.int32)
     sign_bits = jnp.zeros((n,), dtype=jnp.int32)
     for px in range(16):
         sel = (best["selectors"] >> (px * 2)) & 3
-        sector_bits = sector_bits | (jnp.take(jnp.asarray(remap_sector), sel)
-                                     << px)
-        sign_bits = sign_bits | (jnp.take(jnp.asarray(remap_sign), sel) << px)
+        sector_bits = sector_bits | (((sel & 1) ^ 1) << px)
+        sign_bits = sign_bits | ((((sel ^ (sel >> 1)) & 1) ^ 1) << px)
     h_hi, h_lo = _emit_hmode([best["packed"], best["h2"]], sector_bits,
                              sign_bits, best["table"], False, n)
 
@@ -1594,6 +1637,15 @@ def compress_etc1_punchthrough(stage, rank_base, pixels, pw, is_transparent,
             can_ignore.append(ig)
 
         diff_data = [None, None]
+        n_offs = 17
+        K = 8 * n_offs
+        # flattened table-major candidate axis (see the virtual-T docstring:
+        # one [N, 136] evaluation replaces 8 [N, 17] ones); candidate order
+        # is identical to the former per-table concatenation, so
+        # _resolve_differential and _unique_rank see the same layout.
+        mod_k = jnp.asarray(np.repeat(modifiers, n_offs))[None, :]  # [1,K]
+        table_k = jnp.asarray(np.repeat(np.arange(8, dtype=np.int32),
+                                        n_offs))
         for sector in range(2):
             num_opaque = jnp.zeros((n,), dtype=jnp.int32)
             for px in range(8):
@@ -1610,37 +1662,27 @@ def compress_etc1_punchthrough(stage, rank_base, pixels, pw, is_transparent,
             offs_b = jnp.asarray(offs)[None, :]
             clamped = jnp.maximum(-num_opaque[:, None],
                                   jnp.minimum(num_opaque[:, None], offs_b))
+            offset = (clamped[:, None, :]
+                      * jnp.asarray(modifiers)[None, :, None]).reshape(n, K)
 
-            colors = []
-            errors = []
-            sels = []
-            for table in range(8):
-                offset = clamped * int(modifiers[table])
-                quant = []
-                for ch in range(3):
-                    cu = jnp.minimum(
-                        cum_max[:, None],
-                        jnp.maximum(0, sector_cum[sector][ch][:, None]
-                                    + offset))
-                    numer = (cu << 5) - cu + (cu >> 3) + add[:, None]
-                    quant.append(numer // denom[:, None])
-                packed = quant[0] | (quant[1] << 5) | (quant[2] << 10)
-                err, sel = _test_half_block_punchthrough(
-                    packed, sector_pixels[sector], sector_pw[sector],
-                    sector_transparent[sector], int(modifiers[table]),
-                    options)
-                colors.append(packed)
-                errors.append(err)
-                sels.append(sel)
+            quant = []
+            for ch in range(3):
+                cu = jnp.minimum(
+                    cum_max[:, None],
+                    jnp.maximum(0, sector_cum[sector][ch][:, None] + offset))
+                numer = (cu << 5) - cu + (cu >> 3) + add[:, None]
+                quant.append(numer // denom[:, None])
+            packed = quant[0] | (quant[1] << 5) | (quant[2] << 10)  # [N,K]
+            err, sel = _test_half_block_punchthrough(
+                packed, sector_pixels[sector], sector_pw[sector],
+                sector_transparent[sector], mod_k, options)
 
-            color_cat = jnp.concatenate(colors, axis=1)
             diff_data[sector] = dict(
-                error=jnp.concatenate(errors, axis=1),
-                color=color_cat,
-                selectors=jnp.concatenate(sels, axis=1),
-                table=jnp.concatenate(
-                    [jnp.full_like(colors[t], t) for t in range(8)], axis=1),
-                urank=_unique_rank(color_cat, 8, colors[0].shape[1]),
+                error=err,
+                color=packed,
+                selectors=sel,
+                table=jnp.broadcast_to(table_k[None, :], (n, K)),
+                urank=_unique_rank(packed, 8, n_offs),
             )
 
         win = _resolve_differential(diff_data, n, can_ignore=can_ignore)
@@ -1649,9 +1691,10 @@ def compress_etc1_punchthrough(stage, rank_base, pixels, pw, is_transparent,
 
 
 def _test_half_block_punchthrough(packed, sector_pixels, sector_pw,
-                                  sector_transparent, modifier: int,
+                                  sector_transparent, modifier,
                                   options: Options):
-    """TestHalfBlockPunchthrough (ETC.cpp:151-217)."""
+    """TestHalfBlockPunchthrough (ETC.cpp:151-217), batched over the
+    candidate axis; `modifier` is a per-candidate [1, K] int32 vector."""
     quant = [(packed >> (ch * 5)) & 31 for ch in range(3)]
     unquant = [(q << 3) | (q >> 2) for q in quant]
     modified = [
@@ -1707,13 +1750,16 @@ def _emit_etc1(flip: int, d: int, win, n, transparent: bool):
     hi = hi | flip
 
     # unpack selectors to full-block order, remap to modifier codes
-    codes = jnp.asarray(MODIFIER_CODES)
+    # MODIFIER_CODES [3,2,0,1] as bit math (no device table gathers):
+    # out_hi = ~s_hi, out_lo = ~gray(s)
     unpacked = [None] * 16
     for sector in range(2):
         sel = win[sector]["selectors"]
         for px in range(8):
             dst = int(FLIP_TABLES[flip][sector][px])
-            unpacked[dst] = jnp.take(codes, (sel >> (2 * px)) & 3)
+            s = (sel >> (2 * px)) & 3
+            unpacked[dst] = ((((s >> 1) ^ 1) << 1)
+                             | (((s ^ (s >> 1)) & 1) ^ 1))
 
     lo = jnp.zeros((n,), dtype=jnp.int32)
     for sb in range(2):

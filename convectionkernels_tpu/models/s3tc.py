@@ -51,9 +51,6 @@ def paranoid_diff(a, b, d):
     return abs_diff * abs_diff
 
 
-DEBUG_STATE = None  # test hook: set to a dict to capture search state; only valid with jit disabled
-
-
 class _Best:
     """Lane-parallel best-candidate state (endpoints, indexes, range, error)."""
 
@@ -118,10 +115,6 @@ def _test_endpoints(flags, pixels, float_pixels, pw_pixels, unquantized_eps,
 
     better = error < best.error
     best.update(better, error, endpoints, indexes, range_)
-    if DEBUG_STATE is not None:
-        DEBUG_STATE["rounds"].append(dict(
-            range=range_, endpoints=endpoints, indexes=indexes, error=error,
-            better=better))
 
 
 def _test_single_color(flags, pixels, range_: int, cw_sq, best: _Best,
@@ -216,9 +209,6 @@ def pack_rgb(pixels_u8, flags: int, channel_weights, alpha_test: bool,
     base, offset = pca.get_endpoints(centroid, direction, min_d, max_d, cw, 3)
 
     best = _Best(zero_i, zero_f)
-
-    if DEBUG_STATE is not None:
-        DEBUG_STATE["rounds"] = []
 
     if exhaustive:
         _pack_rgb_exhaustive(flags, pixels, float_pixels, pw_pixels, base,
@@ -461,11 +451,6 @@ def pack_explicit_alpha(pixels_u8, channel: int):
     return jnp.stack(byte_cols, axis=-1).astype(jnp.uint8)
 
 
-# Debug hook: when set to a list, every candidate (tag, error, ep0, ep1)
-# is appended. Used only by the test harness to localize divergences.
-DEBUG_TRACE = None
-
-
 def pack_interpolated_alpha(pixels_u8, channel: int, is_signed: bool,
                             max_tweak_rounds: int, num_refine_rounds: int):
     """PackInterpolatedAlpha (S3TC.cpp:343-715): BC3 alpha / BC4 / BC5 channel.
@@ -537,9 +522,6 @@ def pack_interpolated_alpha(pixels_u8, channel: int, is_signed: bool,
                     refiner.contribute_unweighted_pw([float_pixels[px]], index)
                 indexes.append(index)
             error = lanes.to_float(agg)
-            if DEBUG_TRACE is not None:
-                DEBUG_TRACE.append((f"full t{tweak} r{refine}", error, ep[0],
-                                    ep[1], indexes))
             update_best(error, 1, indexes, ep)
             if refine != num_refine_rounds - 1:
                 r0, r1 = refiner.get_refined_endpoints_ldr()
@@ -636,10 +618,6 @@ def pack_interpolated_alpha(pixels_u8, channel: int, is_signed: bool,
                         error = error + best_px_err
                         indexes.append(index)
 
-                    if DEBUG_TRACE is not None:
-                        DEBUG_TRACE.append(
-                            (f"red m{min_i},{max_i} t{tweak} r{refine}",
-                             error, ep[0], ep[1], indexes))
                     update_best(error, 0, indexes, ep)
                     if refine != num_refine_rounds - 1:
                         r0, r1 = refiner.get_refined_endpoints_ldr()

@@ -144,6 +144,23 @@ def first_argmin(x, axis: int):
     return jnp.min(jnp.where(x == m, iota, x.shape[axis]), axis=axis)
 
 
+def take_winner(x, win):
+    """x[i, win[i]] for x [N, K], win [N] — as a one-hot masked reduce.
+
+    take_along_axis / jnp.take lower to serial per-lane gathers on TPU
+    (~40us each); the one-hot select + reduce is a single wide fused op
+    and XLA shares the iota/compare across consecutive calls with the
+    same `win`. Exact for the values stored here: non-negative floats
+    (x + 0.0 == x), ints, bools.
+    """
+    import jax
+
+    onehot = jax.lax.broadcasted_iota(I32, x.shape, 1) == win[:, None]
+    if x.dtype == jnp.bool_:
+        return jnp.any(onehot & x, axis=1)
+    return jnp.sum(jnp.where(onehot, x, 0), axis=1, dtype=x.dtype)
+
+
 def compute_tweak_factors(tweak: int, range_: int) -> tuple[np.float32, np.float32]:
     """Util::ComputeTweakFactors (ConvectionKernels_Util.cpp:75-84).
 

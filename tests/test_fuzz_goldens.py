@@ -113,6 +113,15 @@ def test_fuzz_bc7_q50(oracle):
 
 
 @pytest.mark.slow
+def test_fuzz_bc7_max(oracle):
+    """Max-quality (default plan): the most state-heavy BC7 path — all 64
+    partitions x 243 shapes with the cross-mode combine (BC67.cpp:1602-1660)."""
+    px = fuzz_blocks(1024, seed=325)
+    _check(oracle.encode_bc7(px, OracleOptions(), quality=0),
+           ck.encode_bc7(px))
+
+
+@pytest.mark.slow
 def test_fuzz_bc6hu(oracle):
     rng = np.random.default_rng(323)
     px = rng.uniform(0, 64.0, size=(512, 16, 4)) \

@@ -7,18 +7,24 @@ chunk amortizes that overhead over more texels. This sweep measures the
 real trade-off on the attached chip to pick per-codec chunk sizes.
 
 Usage: python tools/chunk_sweep.py [fmt ...]   (default: etc2 bc6hu bc7_q50)
+
+The printed `wall` spans the whole bench_ours call — compile + warm-up
+run + 2 profiled repetitions — so read it as an upper bound on compile
+time, not a pure compile figure.
 """
 
+import os
 import sys
 import time
 
 import numpy as np
 
-from convectionkernels_tpu.utils import cache as _cache
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from convectionkernels_tpu.utils import cache as _cache  # noqa: E402
 
 _cache.enable()
 
-sys.path.insert(0, ".")
 from bench import blockify_test_image, hdr_test_blocks, bench_ours  # noqa: E402
 
 
@@ -40,6 +46,11 @@ def main():
         "bc7_q50": (lambda: _bc7_fn(opt, plan_from_quality(50)).body,
                     blockify_test_image),
     }
+
+    unknown = [f for f in fmts if f not in builders]
+    if unknown:
+        raise SystemExit(f"unknown format(s) {unknown}; "
+                         f"supported: {sorted(builders)}")
 
     for fmt in fmts:
         make_body, make_px = builders[fmt]

@@ -110,6 +110,7 @@ def main():
     registry["bc3"] = (_bc3_fn(opt), "u8")
     registry["etc1"] = (_etc_fn(opt, "etc1"), "u8")
     registry["etc2"] = (_etc_fn(opt, "etc2"), "u8")
+    registry["etc2_pt"] = (_etc_fn(opt, "etc2_pt"), "u8a")
     registry["eac_r11"] = (_eac_fn(opt, False), "s16")
     registry["bc7_q50"] = (_bc7_fn(opt, plan_from_quality(50)), "u8")
     registry["bc7_q100"] = (_bc7_fn(opt, BC7EncodingPlan()), "u8")
@@ -121,6 +122,9 @@ def main():
         n = fn.chunk
         if kind == "u8":
             x = blockify_test_image(n)
+        elif kind == "u8a":
+            x = blockify_test_image(n)
+            x[..., 3] = rng.integers(0, 256, size=(n, 16))
         elif kind == "hdr":
             x = hdr_test_blocks(n)
         else:
