@@ -362,20 +362,38 @@ def _resolve_differential(diff_data, n, can_ignore=None):
     jj = jnp.arange(a_count, dtype=jnp.int32)
     u1j = u1 * a_count + jj[None, :]                       # [N,A]
 
-    # Per-row (sector-0 candidate) best legal partner, i-axis chunked by
-    # table to bound the fused [N, rows, A] grids.
+    # Per-row (sector-0 candidate) lexicographic-best legal partner,
+    # i-axis chunked by table to bound the fused [N, rows, A] grids.
+    # ONE variadic (e1, u1j) lex-min reduce per chunk instead of a value
+    # pass plus a tie pass: the pair grid is compute-bound (~2.5 ms per
+    # select_reduce at N=4096), so halving the traversals halves the
+    # dominant ETC1 cost. The combiner is a commutative/associative
+    # total-order min, so it is immune to the TPU variadic-reduce
+    # ordering caveat that first_argmin works around (lanes.py).
+    import jax
+
+    def lex_pair_min(ev, uv):
+        def comb(a, b):
+            ae, au = a
+            be, bu = b
+            take_a = (ae < be) | ((ae == be) & (au <= bu))
+            return (jnp.where(take_a, ae, be), jnp.where(take_a, au, bu))
+
+        return jax.lax.reduce((ev, uv), (INF, np.int32(2**30)), comb, (2,))
+
     mine1_rows = []
     minuj_rows = []
     for t0 in range(8):
         s0 = slice(t0 * per_table, (t0 + 1) * per_table)
-        diff = fields1[:, None, :] - fields0[:, s0][:, :, None]
+        f0s = fields0[:, s0][:, :, None]
+        diff = fields1[:, None, :] - f0s
         ok = (diff & swar_mask) == swar_legal              # [N,rows,A]
         if ignore_any is not None:
             ok = ok | ignore_any
         e1b = jnp.broadcast_to(e1[:, None, :], ok.shape)
-        mine1 = jnp.min(jnp.where(ok, e1b, INF), axis=-1)  # [N,rows]
-        tie = ok & (e1b == mine1[:, :, None])
-        minuj = jnp.min(jnp.where(tie, u1j[:, None, :], big), axis=-1)
+        ev = jnp.where(ok, e1b, INF)
+        uv = jnp.where(ok, jnp.broadcast_to(u1j[:, None, :], ok.shape), big)
+        mine1, minuj = lex_pair_min(ev, uv)                # [N,rows]
         mine1_rows.append(mine1)
         minuj_rows.append(minuj)
 
@@ -650,7 +668,20 @@ def _resolve_th_fake_bt709(quantized, targets, granularity):
 
 def encode_hmode(stage: StageBest, rank_base: int, groupings, pixels, pw,
                  options: Options):
-    """EncodeHMode (ETC.cpp:649-886)."""
+    """EncodeHMode (ETC.cpp:649-886).
+
+    Restructured for TPU bandwidth: the 8 modifier tables flatten into
+    one [N, 264] candidate-color axis (as in encode_tmode), and the
+    (i1, i0) pair scan accumulates ONLY the pair total, expressed as
+    broadcasts of the [N, 264] per-pixel errors into a [N, 8, 33, 33]
+    chain that XLA fuses into the single [N, 8712] lexicographic argmin —
+    no materialized pair grids. The winner's per-pixel sector/sign bits
+    are recomputed afterwards from the winning pair's colors on [N, 16]
+    arrays: bit-identical to the grid's decisions because the same
+    compute_error inputs reproduce the same f32 values. The flat
+    (table, i1-major, i0) order equals the reference's strict-improvement
+    combo walk (ETC.cpp:797-815) over tables then unique pair indexes.
+    """
     n = pixels[0][0].shape[0]
 
     totals = [[None] * 3, [None] * 3]
@@ -665,121 +696,118 @@ def encode_hmode(stage: StageBest, rank_base: int, groupings, pixels, pw,
     totals[0] = [totals[0][ch] - totals[1][ch] for ch in range(3)]
     counts = [16 - count1, count1]
 
-    best = None
-    for table in range(8):
-        modifier = int(etc_tables.TH_MODIFIER_TABLE[table])
+    th_mods = np.asarray(etc_tables.TH_MODIFIER_TABLE, dtype=np.int32)
+    n_offs = 33
+    K = 8 * n_offs
+    mod_k = jnp.asarray(np.repeat(th_mods, n_offs))[None, :]  # [1,K]
 
-        # candidate colors per sector: premultiplier in [-16,16] clamped
-        sector_colors = []  # [2] of [N,C] packed (r<<10|g<<5|b)
-        for sector in range(2):
-            offs = jnp.asarray(np.arange(-16, 17, dtype=np.int32))[None, :]
-            clamped = jnp.maximum(-counts[sector][:, None],
-                                  jnp.minimum(counts[sector][:, None], offs))
-            quantized = []
-            for ch in range(3):
-                numer = jnp.maximum(
-                    0, (totals[sector][ch] * 2 + counts[sector] * 17)[:, None]
-                    + clamped * (2 * modifier))
-                q = jnp.minimum(15, _div_exact_int(
-                    numer, (counts[sector] * 34)[:, None]))
-                quantized.append(q)
-            sector_colors.append((quantized[0] << 10) | (quantized[1] << 5)
-                                 | quantized[2])
+    # candidate colors per sector: premultiplier in [-16,16] clamped,
+    # flattened table-major -> [N, 264] packed (r<<10|g<<5|b)
+    offs_b = jnp.asarray(np.arange(-16, 17, dtype=np.int32))[None, :]
+    sector_colors = []
+    for sector in range(2):
+        clamped = jnp.maximum(-counts[sector][:, None],
+                              jnp.minimum(counts[sector][:, None], offs_b))
+        mod_addend = (clamped[:, None, :]
+                      * (2 * th_mods)[None, :, None]).reshape(n, K)
+        quantized = []
+        for ch in range(3):
+            numer = jnp.maximum(
+                0, (totals[sector][ch] * 2 + counts[sector] * 17)[:, None]
+                + mod_addend)
+            q = jnp.minimum(15, _div_exact_int(
+                numer, (counts[sector] * 34)[:, None]))
+            quantized.append(q)
+        sector_colors.append((quantized[0] << 10) | (quantized[1] << 5)
+                             | quantized[2])
 
-        # per-candidate-color best sign per pixel
-        def color_errors(packed):
-            unq = [(packed >> ((2 - ch) * 5)) & 15 for ch in range(3)]
-            unq = [(q << 4) | q for q in unq]
-            plus = [jnp.minimum(255, unq[ch] + modifier) for ch in range(3)]
-            minus = [jnp.maximum(0, unq[ch] - modifier) for ch in range(3)]
-            errs = []
-            signs = []
-            for px in range(16):
-                pix = [pixels[px][ch][:, None] for ch in range(3)]
-                pwp = [pw[px][ch][:, None] for ch in range(3)]
-                e0 = compute_error(plus, pix, pwp, options)
-                e1 = compute_error(minus, pix, pwp, options)
-                one_less = e1 < e0
-                errs.append(jnp.minimum(e0, e1))
-                signs.append(one_less)
-            return errs, signs
-
-        errs0, signs0 = color_errors(sector_colors[0])
-        errs1, signs1 = color_errors(sector_colors[1])
-
-        # pair scan: all (i0, i1) except the (first-unique, first-unique)
-        # pair, which the reference's combo walk never visits
-        # (ETC.cpp:800-815 starts past it). Ranked by unique pair indexes.
-        u0 = _unique_rank(sector_colors[0], 1, sector_colors[0].shape[1])
-        u1 = _unique_rank(sector_colors[1], 1, sector_colors[1].shape[1])
-
-        # Pair grid flattened j-major to ONE lane axis k = i1*C + i0:
-        # a [N, 33, 33] layout would pad its minor (33, 33) dims to
-        # (40, 128) VREG tiles (4.7x waste on the hottest H-mode ops);
-        # [N, 1089] pads ~6%. tile() varies i0 fastest, repeat() i1.
-        c_count = sector_colors[0].shape[1]
-
-        def over0(x):  # value indexed by i0 -> [N, C*C]
-            return jnp.tile(x, (1, c_count))
-
-        def over1(x):  # value indexed by i1 -> [N, C*C]
-            return jnp.repeat(x, c_count, axis=1)
-
-        total = None
-        sector_bits = None
-        sign_bits = None
+    # per-candidate-color per-pixel best error over the +-modifier signs
+    def color_errors(packed):
+        unq = [(packed >> ((2 - ch) * 5)) & 15 for ch in range(3)]
+        unq = [(q << 4) | q for q in unq]
+        plus = [jnp.minimum(255, unq[ch] + mod_k) for ch in range(3)]
+        minus = [jnp.maximum(0, unq[ch] - mod_k) for ch in range(3)]
+        errs = []
         for px in range(16):
-            e0 = over0(errs0[px])
-            e1 = over1(errs1[px])
-            pick1 = e1 < e0
-            t = jnp.where(pick1, e1, e0)
-            total = t if total is None else total + t
-            bit = 1 << px
-            sb = jnp.where(pick1, bit, 0)
-            sector_bits = sb if sector_bits is None else sector_bits | sb
-            sgn = jnp.where(pick1,
-                            jnp.where(over1(signs1[px]), bit, 0),
-                            jnp.where(over0(signs0[px]), bit, 0))
-            sign_bits = sgn if sign_bits is None else sign_bits | sgn
+            pix = [pixels[px][ch][:, None] for ch in range(3)]
+            pwp = [pw[px][ch][:, None] for ch in range(3)]
+            e0 = compute_error(plus, pix, pwp, options)
+            e1 = compute_error(minus, pix, pwp, options)
+            errs.append(jnp.minimum(e0, e1))
+        return errs
 
-        # The reference's combo walk (ETC.cpp:797-815) pre-increments index0,
-        # so the (0,0) pair is only reached by wrapping -- which happens iff
-        # sector 1 has exactly one unique color (then index1 clamps to 0).
-        # With >1 unique colors in sector 1, (0,0) is never visited.
-        nu1 = jnp.max(u1, axis=-1) + 1  # [N] unique count, sector 1
-        skip = ((over0(u0) == 0) & (over1(u1) == 0)
-                & (nu1[:, None] > 1))
-        total = jnp.where(skip, INF, total)
+    errs0 = color_errors(sector_colors[0])
+    errs1 = color_errors(sector_colors[1])
 
-        # reference combo order is (i1-major, i0) over unique indexes:
-        # rank = u1 * numUnique0 + u0; the j-major flat order matches, so
-        # the dense first-occurrence argmin preserves visitation rank
-        win = lanes.first_argmin(total, -1)
+    # unique ranks resetting at table boundaries (the reference dedups
+    # consecutive candidates per table)
+    def table_rank(c):
+        f = c.reshape(n, 8, n_offs)
+        prev = jnp.concatenate(
+            [jnp.full((n, 8, 1), -1, dtype=jnp.int32), f[:, :, :-1]],
+            axis=-1)
+        return jnp.cumsum((f != prev).astype(jnp.int32), axis=-1) - 1
 
-        def g(x, win=win):
-            mask = win[:, None] == jnp.arange(
-                x.shape[1], dtype=jnp.int32)[None, :]
-            return jnp.sum(jnp.where(mask, x, 0), axis=1)
+    u0 = table_rank(sector_colors[0])  # [N,8,33]
+    u1 = table_rank(sector_colors[1])
+    # The reference's combo walk (ETC.cpp:797-815) pre-increments index0,
+    # so the (0,0) pair is only reached by wrapping -- which happens iff
+    # sector 1 has exactly one unique color (then index1 clamps to 0).
+    # With >1 unique colors in sector 1, (0,0) is never visited.
+    nu1 = jnp.max(u1, axis=-1) + 1  # [N,8] unique counts, sector 1
 
-        cand = dict(
-            error=jnp.min(total, axis=-1),
-            color0=g(over0(sector_colors[0])),
-            color1=g(over1(sector_colors[1])),
-            sector_bits=g(sector_bits),
-            sign_bits=g(sign_bits),
-            table=jnp.full((n,), table, dtype=jnp.int32),
-        )
-        if best is None:
-            best = cand
-        else:
-            better = cand["error"] < best["error"]
-            best = {k: jnp.where(better, cand[k], best[k]) for k in cand}
+    # pair totals: broadcast accumulation over [N, 8, 33(i1), 33(i0)];
+    # min(e1, e0) == where(e1 < e0, e1, e0) exactly (non-negative f32)
+    total = None
+    for px in range(16):
+        e0k = errs0[px].reshape(n, 8, 1, n_offs)
+        e1k = errs1[px].reshape(n, 8, n_offs, 1)
+        t = jnp.minimum(e1k, e0k)
+        total = t if total is None else total + t
 
-    hi, lo = _emit_hmode([best["color0"], best["color1"]],
-                         best["sector_bits"], best["sign_bits"],
-                         best["table"], True, n)
-    stage.update(best["error"], rank_base, hi, lo,
-                 valid=jnp.isfinite(best["error"]))
+    skip = ((u0[:, :, None, :] == 0) & (u1[:, :, :, None] == 0)
+            & (nu1[:, :, None, None] > 1))
+    total = jnp.where(skip, INF, total).reshape(n, 8 * n_offs * n_offs)
+
+    win = lanes.first_argmin(total, -1)
+    err = jnp.min(total, axis=-1)
+    table = win // (n_offs * n_offs)
+    rem = win % (n_offs * n_offs)
+    i1 = rem // n_offs
+    i0 = rem % n_offs
+    color0 = lanes.take_winner(sector_colors[0], table * n_offs + i0)
+    color1 = lanes.take_winner(sector_colors[1], table * n_offs + i1)
+
+    # winner's per-pixel decisions, recomputed on [N, 16] (pixel axis)
+    modifier = lanes.take_winner(
+        jnp.broadcast_to(jnp.asarray(th_mods)[None, :], (n, 8)), table)
+    pix_s = [jnp.stack([pixels[px][ch] for px in range(16)], axis=1)
+             for ch in range(3)]
+    pw_s = [jnp.stack([pw[px][ch] for px in range(16)], axis=1)
+            for ch in range(3)]
+
+    def lane_errors(packed):
+        unq = [(packed >> ((2 - ch) * 5)) & 15 for ch in range(3)]
+        unq = [(q << 4) | q for q in unq]
+        plus = [jnp.minimum(255, unq[ch] + modifier)[:, None]
+                for ch in range(3)]
+        minus = [jnp.maximum(0, unq[ch] - modifier)[:, None]
+                 for ch in range(3)]
+        e0 = compute_error(plus, pix_s, pw_s, options)
+        e1 = compute_error(minus, pix_s, pw_s, options)
+        return jnp.minimum(e0, e1), e1 < e0
+
+    e0p, s0 = lane_errors(color0)
+    e1p, s1 = lane_errors(color1)
+    pick1 = e1p < e0p  # [N,16]
+    bitrow = jnp.asarray((1 << np.arange(16)).astype(np.int32))[None, :]
+    sector_bits = jnp.sum(jnp.where(pick1, bitrow, 0), axis=1)
+    sign_bits = jnp.sum(jnp.where(jnp.where(pick1, s1, s0), bitrow, 0),
+                        axis=1)
+
+    hi, lo = _emit_hmode([color0, color1], sector_bits, sign_bits,
+                         table, True, n)
+    stage.update(err, rank_base, hi, lo, valid=jnp.isfinite(err))
 
 
 def encode_planar(stage: StageBest, rank_base: int, pixels, pw,
