@@ -12,11 +12,33 @@ exact division there; ParallelMath.h:1456).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from . import lanes
 from .exact_math import exact_divide, exact_reciprocal
+
+
+def _pin(x, enable=True):
+    """Pin a product against XLA:TPU fused-multiply-add contraction.
+
+    XLA:TPU may duplicate an elementwise expression into several fusions
+    and contract `v - a*t` into an FMA in some of them — observed on the
+    BC1 quality corpus as two bit-different evaluations of the SAME
+    refined-endpoint solve inside one program, flipping a floor(x+0.5)
+    boundary vs the scalar reference (94 -> 95). A barrier around each
+    product forces the separate rounding step the scalar build performs.
+    Cost: negligible ([N]-sized values, a handful per refiner solve).
+
+    enable=False skips the barrier: Pallas/Mosaic cannot lower
+    optimization_barrier, and Mosaic compiles the kernel body op-for-op
+    without XLA's fusion/contraction passes (the TPU oracle goldens
+    cover the kernel path at scale).
+    """
+    if not enable:
+        return x
+    return jax.lax.optimization_barrier(x)
 
 
 class EndpointRefiner:
@@ -93,16 +115,19 @@ class EndpointRefiner:
 
         stacked=False runs the channel divides separately (identical
         elementwise arithmetic) — used inside Pallas kernels where a
-        [., nch] minor axis would pad to 128 lanes."""
+        [., nch] minor axis would pad to 128 lanes. It also disables the
+        FMA-contraction pin (see _pin): Mosaic cannot lower the barrier
+        and does not contract."""
+        pin = stacked
         w = self.w + self.wu.astype(jnp.float32)
         w = lanes.make_safe_denominator(w)
         w_rcp = exact_reciprocal(w)  # scalar Reciprocal == exact division
 
-        adenom = (self.tt * w - self.t * self.t) * w_rcp
+        adenom = (_pin(self.tt * w, pin) - _pin(self.t * self.t, pin)) * w_rcp
         adenom_zero = adenom == np.float32(0.0)
         adenom = jnp.where(adenom_zero, np.float32(1.0), adenom)
 
-        a_numer_list = [self.tv[ch] - self.t * self.v[ch] * w_rcp
+        a_numer_list = [self.tv[ch] - _pin(self.t * self.v[ch] * w_rcp, pin)
                         for ch in range(self.nch)]
         if stacked:
             a_all = exact_divide(jnp.stack(a_numer_list, axis=-1),
@@ -115,7 +140,7 @@ class EndpointRefiner:
         ep0, ep1 = [], []
         for ch in range(self.nch):
             a = a_list[ch]
-            b = (self.v[ch] - a * self.t) * w_rcp
+            b = (self.v[ch] - _pin(a * self.t, pin)) * w_rcp
             p1 = b
             p2 = a + b
             p1 = jnp.where(adenom_zero, self.v[ch] * w_rcp, p1)
