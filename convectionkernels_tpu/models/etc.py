@@ -11,9 +11,9 @@ evaluation:
   reproduce its tie-breaking exactly.
 - The differential pair resolution (FindBestDifferentialCombination,
   ETC.cpp:219-362) — deliberately scalar in the reference — becomes a dense
-  masked pair-argmin over table-pair chunks with a lexicographic
-  (total, err0, uniqueIdx0, err1, uniqueIdx1) key, which is exactly the
-  winner the reference's sorted pruned scan commits.
+  masked pair-argmin over table-pair chunks, reproducing the sequential
+  scan's committed winner including its fast path and its floating-point
+  re-acceptance of equal-total ties (see _resolve_differential).
 - T/H/planar mode searches batch their candidate scans; final 64-bit block
   emission is vectorized bit math, with the per-stage winner selected by
   (error, stage-rank) lexicographic argmin (strict-less update order).
@@ -302,7 +302,7 @@ def compress_etc1_internal(stage: StageBest, rank_base: int, pixels, pw,
                                     transparent=False)
                 stage.update(total, rank_base + flip * 2, hi, lo)
             else:
-                win = _resolve_differential(diff_data, n)
+                win = _resolve_differential(diff_data, n, stage.error)
                 hi, lo = _emit_etc1(flip, 1, win, n, transparent=False)
                 stage.update(win[0]["total"], rank_base + flip * 2 + 1, hi,
                              lo)
@@ -310,12 +310,12 @@ def compress_etc1_internal(stage: StageBest, rank_base: int, pixels, pw,
     return stage
 
 
-def _resolve_differential(diff_data, n, can_ignore=None):
-    """Dense equivalent of FindBestDifferentialCombination (ETC.cpp:219-362):
-    lexicographic (total, err0, uidx0, err1, uidx1) argmin over legal pairs.
+def _resolve_differential(diff_data, n, best_in, can_ignore=None):
+    """Dense equivalent of FindBestDifferentialCombination (ETC.cpp:219-362).
 
-    Exactness-preserving reformulations vs the naive 64-table-pair grid
-    scan (each verified by the oracle golden tests):
+    The reference's scan is sequential with floating-point acceptance
+    quirks; this reproduces its committed winner with dense reductions:
+
     - Within a row i (sector-0 candidate), the best legal partner j
       minimizes (err1, uidx1) independently of err0: f32 addition is
       monotone in each operand, so lex (e0[i]+e1[j], e1, u1) over j
@@ -329,8 +329,29 @@ def _resolve_differential(diff_data, n, can_ignore=None):
       cumsum flags every table's first entry as new), so equal
       (u0) => same sector-0 table & color, equal (e1, u1) => same
       sector-1 table & color, and any full-key tie carries an identical
-      payload: the reference's pair-ordered strict-improvement scan is
-      exactly one global lexicographic minimum.
+      payload: the reference scan visits unique attempts exactly in
+      (err, urank) sorted order.
+    - Fast path (ETC.cpp:258-273): when the per-sector unconstrained
+      lex-min attempts form a legal pair and their f32 sum beats the
+      incoming best, the reference commits THAT pair without scanning —
+      modeled explicitly (a later scan row tied on total must not win).
+    - Re-acceptance (ETC.cpp:326-346): the slow scan's acceptance test is
+      `err1 < fl(best - err0)` against a RUNNING best, so after the
+      minimal total T is first reached, any later row r in (e0, u0) scan
+      order with mine1[r] < fl(T - e0[r]) REPLACES the winner even though
+      its total ties T (fl(e0+e1) rounded up above the exact sum). The
+      committed winner is therefore the LAST such row when any exists,
+      else the first row reaching T (= lex-min (total, e0, u0)).
+
+    Residual ulp caveat (documented, not observed): if two LEGAL pairs
+    have distinct f32 totals within 1 ulp of each other (or of best_in),
+    the reference's running-best trajectory can skip the smaller one in
+    ways only a sequential replay reproduces. Equal-total ties — the
+    case that occurs in practice (identical arithmetic values) — are
+    exact here.
+
+    best_in: [N] f32, the stage's best error entering this resolve
+    (blockBestTotalError at the reference call site).
     """
     e0 = diff_data[0]["error"]
     e1 = diff_data[1]["error"]
@@ -401,19 +422,50 @@ def _resolve_differential(diff_data, n, can_ignore=None):
     minuj = jnp.concatenate(minuj_rows, axis=1)
     total = e0 + mine1                                     # [N,A]
 
-    # Global lexicographic (total, e0, u0, e1, u1[,j]) minimum over rows;
-    # the earliest row among full ties (payload-identical, see docstring).
-    m = total == jnp.min(total, axis=-1)[:, None]
+    # First row reaching the minimal total T in (e0, u0) scan order:
+    # lex-min (total, e0, u0) (full-key ties are payload-identical).
+    tmin = jnp.min(total, axis=-1)
+    m = total == tmin[:, None]
     ke0 = jnp.min(jnp.where(m, e0, INF), axis=-1)
     m = m & (e0 == ke0[:, None])
     ku0 = jnp.min(jnp.where(m, u0, big), axis=-1)
     m = m & (u0 == ku0[:, None])
-    ke1 = jnp.min(jnp.where(m, mine1, INF), axis=-1)
-    m = m & (mine1 == ke1[:, None])
-    kuj = jnp.min(jnp.where(m, minuj, big), axis=-1)
-    m = m & (minuj == kuj[:, None])
     wini = jnp.min(jnp.where(m, jj[None, :], big), axis=-1)  # iota: no ties
     wini = jnp.minimum(wini, a_count - 1)
+
+    # Re-acceptance override (see docstring): the LAST row in (e0, u0)
+    # scan order whose min legal partner beats fl(T - e0) replaces the
+    # first achiever. Rows in this set necessarily tie total == T.
+    reacc = mine1 < (tmin[:, None] - e0)
+    ge0 = jnp.max(jnp.where(reacc, e0, -INF), axis=-1)
+    mr = reacc & (e0 == ge0[:, None])
+    gu0 = jnp.max(jnp.where(mr, u0, -1), axis=-1)
+    mr = mr & (u0 == gu0[:, None])
+    s_wini = jnp.max(jnp.where(mr, jj[None, :], -1), axis=-1)
+    wini = jnp.where(s_wini >= 0, s_wini, wini)
+
+    # Fast path: per-sector unconstrained lex-min (err, urank) attempts;
+    # committed outright when their sum beats best_in and the pair is
+    # legal (or a sector is ignorable). The fast pair's partner IS row
+    # bd0's min legal partner (the global min is legal for it), so only
+    # the row index needs overriding.
+    bd0e = jnp.min(e0, axis=-1)
+    mf = e0 == bd0e[:, None]
+    bd0u = jnp.min(jnp.where(mf, u0, big), axis=-1)
+    mf = mf & (u0 == bd0u[:, None])
+    bd0i = jnp.minimum(jnp.min(jnp.where(mf, jj[None, :], big), axis=-1),
+                       a_count - 1)
+    bd1e = jnp.min(e1, axis=-1)
+    mf = e1 == bd1e[:, None]
+    bd1uj = jnp.min(jnp.where(mf, u1j, big), axis=-1)
+    bd1j = jnp.minimum(bd1uj % a_count, a_count - 1)
+    bd0c = lanes.take_winner(fields0, bd0i)
+    bd1c = lanes.take_winner(fields1, bd1j)  # pre-biased fields (+516/unit)
+    pair_legal = ((bd1c - bd0c) & swar_mask) == swar_legal
+    if ignore_any is not None:
+        pair_legal = pair_legal | ignore_any[:, 0, 0]
+    enable = (bd0e + bd1e) < best_in
+    wini = jnp.where(enable & pair_legal, bd0i, wini)
 
     def g0(x):
         return lanes.take_winner(x, wini)
@@ -1713,7 +1765,8 @@ def compress_etc1_punchthrough(stage, rank_base, pixels, pw, is_transparent,
                 urank=_unique_rank(packed, 8, n_offs),
             )
 
-        win = _resolve_differential(diff_data, n, can_ignore=can_ignore)
+        win = _resolve_differential(diff_data, n, stage.error,
+                                    can_ignore=can_ignore)
         hi, lo = _emit_etc1(flip, 1, win, n, transparent=True)
         stage.update(win[0]["total"], rank_base + flip, hi, lo)
 
