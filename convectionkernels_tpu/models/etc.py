@@ -383,27 +383,14 @@ def _resolve_differential(diff_data, n, best_in, can_ignore=None):
     jj = jnp.arange(a_count, dtype=jnp.int32)
     u1j = u1 * a_count + jj[None, :]                       # [N,A]
 
-    # Per-row (sector-0 candidate) lexicographic-best legal partner,
-    # i-axis chunked by table to bound the fused [N, rows, A] grids.
-    # ONE variadic (e1, u1j) lex-min reduce per chunk instead of a value
-    # pass plus a tie pass: the pair grid is compute-bound (~2.5 ms per
-    # select_reduce at N=4096), so halving the traversals halves the
-    # dominant ETC1 cost. The combiner is a commutative/associative
-    # total-order min, so it is immune to the TPU variadic-reduce
-    # ordering caveat that first_argmin works around (lanes.py).
-    import jax
-
-    def lex_pair_min(ev, uv):
-        def comb(a, b):
-            ae, au = a
-            be, bu = b
-            take_a = (ae < be) | ((ae == be) & (au <= bu))
-            return (jnp.where(take_a, ae, be), jnp.where(take_a, au, bu))
-
-        return jax.lax.reduce((ev, uv), (INF, np.int32(2**30)), comb, (2,))
-
+    # Per-row (sector-0 candidate) min legal partner ERROR only, i-axis
+    # chunked by table to bound the fused [N, rows, A] grids. The O(A^2)
+    # pair grid is compute-bound on the VPU, so the hot reduce carries NO
+    # index payload (5 ops/pair: SWAR sub, and, cmp, select, min) — the
+    # winning row's partner index is reconstructed afterwards on a single
+    # [N, A] pass (its legality row + e1 == mine1[win], then min u1j,
+    # which is exactly the (e1, u1j) lex-min the scan commits).
     mine1_rows = []
-    minuj_rows = []
     for t0 in range(8):
         s0 = slice(t0 * per_table, (t0 + 1) * per_table)
         f0s = fields0[:, s0][:, :, None]
@@ -412,14 +399,9 @@ def _resolve_differential(diff_data, n, best_in, can_ignore=None):
         if ignore_any is not None:
             ok = ok | ignore_any
         e1b = jnp.broadcast_to(e1[:, None, :], ok.shape)
-        ev = jnp.where(ok, e1b, INF)
-        uv = jnp.where(ok, jnp.broadcast_to(u1j[:, None, :], ok.shape), big)
-        mine1, minuj = lex_pair_min(ev, uv)                # [N,rows]
-        mine1_rows.append(mine1)
-        minuj_rows.append(minuj)
+        mine1_rows.append(jnp.min(jnp.where(ok, e1b, INF), axis=2))
 
     mine1 = jnp.concatenate(mine1_rows, axis=1)            # [N,A]
-    minuj = jnp.concatenate(minuj_rows, axis=1)
     total = e0 + mine1                                     # [N,A]
 
     # First row reaching the minimal total T in (e0, u0) scan order:
@@ -472,7 +454,15 @@ def _resolve_differential(diff_data, n, best_in, can_ignore=None):
 
     win_total = g0(total)
     valid = jnp.isfinite(win_total)
-    winj = jnp.where(valid, g0(minuj) % a_count, 0)
+    # post-hoc partner reconstruction (see hot-loop comment)
+    win_f0 = g0(fields0)
+    win_mine1 = g0(mine1)
+    okw = ((fields1 - win_f0[:, None]) & swar_mask) == swar_legal
+    if ignore_any is not None:
+        okw = okw | ignore_any[:, :, 0]
+    mw = okw & (e1 == win_mine1[:, None])
+    winj_uj = jnp.min(jnp.where(mw, u1j, big), axis=-1)
+    winj = jnp.where(valid, jnp.minimum(winj_uj, big - 1) % a_count, 0)
 
     def g1(x):
         return lanes.take_winner(x, winj)
