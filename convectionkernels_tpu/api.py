@@ -35,6 +35,39 @@ def _as_block_array(pixels, dtype=jnp.uint8):
 _CHUNK_LIGHT = 32768
 _CHUNK_HEAVY = 4096
 
+# Program-cache contract: every `_*_fn` below is memoized per distinct
+# (Options, ...) configuration, and each cached entry owns one jax.jit
+# program per batch bucket it has seen. This mirrors the reference's
+# caller-owned scratch (ConvectionKernels.h:224-234) with the ownership
+# inverted: the library holds the "scratch" (compiled programs) so
+# repeat encodes are free. A long-lived process sweeping many distinct
+# Options values (e.g. a threshold sweep) therefore grows compiled
+# programs without bound unless it calls release_programs() between
+# sweeps; steady-state production use (a handful of configurations)
+# needs nothing. _PROGRAM_CACHE_SIZE bounds each per-configuration
+# cache; least-recently-used configurations are evicted, dropping the
+# last reference to their jitted executables so they can be collected.
+_PROGRAM_CACHE_SIZE = 64
+
+
+def _program_cache(fn):
+    """functools.lru_cache with the documented bound + release registry."""
+    cached = functools.lru_cache(maxsize=_PROGRAM_CACHE_SIZE)(fn)
+    _ALL_PROGRAM_CACHES.append(cached)
+    return cached
+
+
+_ALL_PROGRAM_CACHES: list = []
+
+
+def release_programs() -> None:
+    """Drop every cached encoder program (the analogue of the reference's
+    ReleaseETC*Data): subsequent encodes recompile (or re-hit the
+    persistent XLA compile cache) from a clean slate."""
+    for cached in _ALL_PROGRAM_CACHES:
+        cached.cache_clear()
+
+
 # Batches smaller than the chunk size are padded up to a power-of-two
 # bucket (>= _BUCKET_MIN) before the jitted call, so arbitrary image
 # sizes reuse a small fixed set of compiled programs per configuration:
@@ -109,7 +142,7 @@ def _wrap(body, chunk: int):
     return run
 
 
-@functools.lru_cache(maxsize=None)
+@_program_cache
 def _bc1_fn(options: Options):
     cw = options.channel_weights()
     exhaustive = bool(options.flags & Flags.S3TC_EXHAUSTIVE)
@@ -124,7 +157,7 @@ def _bc1_fn(options: Options):
     return _wrap(fn, chunk)
 
 
-@functools.lru_cache(maxsize=None)
+@_program_cache
 def _single_color_tables():
     from .tables import s3tc_single_color
     return s3tc_single_color.load_tables()
@@ -135,7 +168,7 @@ def encode_bc1(pixels, options: Options = Options()):
     return _bc1_fn(options)(_as_block_array(pixels))
 
 
-@functools.lru_cache(maxsize=None)
+@_program_cache
 def _rgb_noalpha_fn(options: Options):
     """Shared BC2/BC3 color half: PackRGB without alpha test (API.cpp:109,125)."""
     cw = options.channel_weights()
@@ -151,7 +184,7 @@ def _rgb_noalpha_fn(options: Options):
     return _wrap(fn, chunk)
 
 
-@functools.lru_cache(maxsize=None)
+@_program_cache
 def _bc2_fn(options: Options):
     def fn(pixels):
         color = _rgb_noalpha_fn(options)(pixels)
@@ -161,7 +194,7 @@ def _bc2_fn(options: Options):
     return _wrap(fn, _CHUNK_LIGHT)
 
 
-@functools.lru_cache(maxsize=None)
+@_program_cache
 def _bc3_fn(options: Options):
     def fn(pixels):
         color = _rgb_noalpha_fn(options)(pixels)
@@ -172,7 +205,7 @@ def _bc3_fn(options: Options):
     return _wrap(fn, _CHUNK_LIGHT)
 
 
-@functools.lru_cache(maxsize=None)
+@_program_cache
 def _bc4_fn(options: Options, signed: bool):
     def fn(pixels):
         if signed:
@@ -183,7 +216,7 @@ def _bc4_fn(options: Options, signed: bool):
     return _wrap(fn, _CHUNK_LIGHT)
 
 
-@functools.lru_cache(maxsize=None)
+@_program_cache
 def _bc5_fn(options: Options, signed: bool):
     def fn(pixels):
         if signed:
@@ -227,7 +260,7 @@ def encode_bc5s(pixels, options: Options = Options()):
     return _bc5_fn(options, True)(_as_block_array(pixels, dtype=jnp.int8))
 
 
-@functools.lru_cache(maxsize=None)
+@_program_cache
 def _bc7_fn(options: Options, plan):
     from .models import bc7
 
@@ -240,7 +273,7 @@ def _bc7_fn(options: Options, plan):
     return _wrap(fn, _CHUNK_HEAVY)
 
 
-@functools.lru_cache(maxsize=None)
+@_program_cache
 def _bc6h_fn(options: Options, signed: bool):
     from .models import bc6h
 
@@ -277,7 +310,7 @@ def encode_bc7(pixels, options: Options = Options(), plan=None, quality=None):
     return _bc7_fn(options, plan)(_as_block_array(pixels))
 
 
-@functools.lru_cache(maxsize=None)
+@_program_cache
 def _etc_fn(options: Options, kind: str):
     from .models import etc
 
@@ -300,7 +333,7 @@ def _etc_fn(options: Options, kind: str):
     return _wrap(fn, _CHUNK_HEAVY)
 
 
-@functools.lru_cache(maxsize=None)
+@_program_cache
 def _etc2_pt_only_fn(options: Options):
     from .models import etc
 
@@ -310,7 +343,7 @@ def _etc2_pt_only_fn(options: Options):
     return _wrap(fn, _CHUNK_HEAVY)
 
 
-@functools.lru_cache(maxsize=None)
+@_program_cache
 def _etc2_pt_dispatch(options: Options):
     """ETC2 punchthrough: host dispatch over the transparency split.
 
@@ -325,10 +358,13 @@ def _etc2_pt_dispatch(options: Options):
     versa). Bit-exactness vs the monolithic program is pinned by the
     oracle golden tests on mixed-alpha inputs (tests/test_etc.py).
 
-    `.body` stays the monolithic single-program form so the sharded path
-    (parallel.sharding) can trace one program; `.jitted_body`/`.chunk`
-    expose the punchthrough-only program (the hot path for
-    transparency-bearing workloads) for bench/profiling.
+    `.body` stays the monolithic single-program form (used only as a
+    fallback); `.jitted_body`/`.chunk` expose the punchthrough-only
+    program (the hot path for transparency-bearing workloads) for
+    bench/profiling; `.split` carries (classify, opaque_fn, pt_fn) so
+    the sharded path (parallel.sharding.encode_sharded) can route the
+    transparency split across device shards too instead of regressing
+    every shard to the monolithic program.
     """
     from .models import etc
 
@@ -338,9 +374,13 @@ def _etc2_pt_dispatch(options: Options):
     f_thr = max(min(1.0, options.threshold), 0.0) * 255.0
     thr = int(np.floor(np.float32(f_thr) + 1.0))
 
+    def classify(px: np.ndarray) -> np.ndarray:
+        """[N] bool: True = any transparent pixel = punchthrough program."""
+        return (np.asarray(px)[:, :, 3] < thr).any(axis=1)
+
     def run(pixels):
         px = np.asarray(pixels)
-        any_t = (px[:, :, 3] < thr).any(axis=1)
+        any_t = classify(px)
         if not any_t.any():
             return opaque_fn(px)
         if any_t.all():
@@ -356,10 +396,11 @@ def _etc2_pt_dispatch(options: Options):
     run.body = body
     run.chunk = pt_fn.chunk
     run.jitted_body = pt_fn.jitted_body
+    run.split = (classify, opaque_fn, pt_fn)
     return run
 
 
-@functools.lru_cache(maxsize=None)
+@_program_cache
 def _eac_fn(options: Options, signed: bool):
     from .models import etc
 

@@ -241,10 +241,14 @@ def _truncate_signed(v, precision: int):
 
 
 def pack(pixels_f16bits, flags: int, channel_weights, is_signed: bool,
-         num_tweak_rounds: int, num_refine_rounds: int):
+         num_tweak_rounds: int, num_refine_rounds: int, *,
+         _only_groups=None, _skip_combine=False):
     """BC6HComputer::Pack (BC67.cpp:2665-3051). Returns uint8 [N, 16].
 
     pixels_f16bits: int16-bits [N, 16, 4] (alpha ignored).
+    _only_groups/_skip_combine are profiling hooks (tools/
+    profile_bc6h_stages.py): restrict to a subset of the precision
+    groups / stop before the meta-combine. Never set on the API path.
     """
     num_tweak_rounds = min(max(num_tweak_rounds, 1), MAX_TWEAK_ROUNDS)
     num_refine_rounds = min(max(num_refine_rounds, 1), MAX_REFINE_ROUNDS)
@@ -325,7 +329,10 @@ def pack(pixels_f16bits, flags: int, channel_weights, is_signed: bool,
     rank_base = 0
     max_meta = MAX_TWEAK_ROUNDS * MAX_REFINE_ROUNDS
 
-    for partitioned, aprec, mode_list in groups:
+    for group_idx, (partitioned, aprec, mode_list) in enumerate(groups):
+        if _only_groups is not None and group_idx not in _only_groups:
+            rank_base += (32 if partitioned else 1) * max_meta * max_meta
+            continue
         num_parts = 32 if partitioned else 1
         num_subsets = 2 if partitioned else 1
         index_bits = 3 if partitioned else 4
@@ -499,6 +506,15 @@ def pack(pixels_f16bits, flags: int, channel_weights, is_signed: bool,
                 meta_indexes.append(indexes)
                 meta_error.append(subset_error)
                 meta_valid.append(valid)
+
+        if _skip_combine:
+            # profiling hook: keep the meta rounds live via a cheap reduce
+            for m in range(max_meta):
+                if meta_error[m] is not None:
+                    best.error = jnp.minimum(best.error,
+                                             jnp.min(meta_error[m], axis=0))
+            rank_base += num_parts * max_meta * max_meta
+            continue
 
         # --- combine meta0 x meta1 x first-legal-mode (BC67.cpp:2914-2986) ---
         # Batched over (P, M0, M1) axes; the winner's mode/encoding is

@@ -167,6 +167,84 @@ def _quantize_etc1_base(cu, differential: bool):
     return ((cu << 5) - (cu << 1) + (cu >> 3) + 2048) >> 12
 
 
+# Run-deduplicated candidate slot axis for the ETC1 scan.
+#
+# Within one modifier table, the quantized base color is a run-structured
+# function of the (sorted) offset list: each channel's 5-bit quantization
+# is monotone in the shared scalar offset, so consecutive offsets collapse
+# into runs of identical colors, and error/selectors depend only on
+# (table, color) — each run is exactly ONE unique attempt (the reference's
+# per-lane adjacent dedup, ETC.cpp:2768-2791). The counts below are the
+# EXACT worst-case run counts per table: brute-forced over every cum value
+# in [0, 2040] per channel, taking the maximum 3-channel union of
+# quantization-boundary sets (tests/test_etc.py:test_etc1_run_bounds
+# re-derives them). A static [sum(K)] slot axis therefore losslessly
+# replaces the dense [8*81] candidate axis: 286 slots vs 648 for the
+# differential quantizer, 175 vs 648 for the individual one — shrinking
+# the O(A^2) differential pair resolve ~5x and the TestHalfBlock error
+# scan ~2.3x with bit-identical results.
+ETC1_RUN_BOUNDS = {
+    True: (7, 14, 23, 31, 42, 48, 45, 76),   # differential quantizer
+    False: (4, 7, 13, 16, 23, 29, 37, 46),   # individual quantizer
+}
+_EMPTY_COLOR = np.int32(1 << 15)  # packed colors are 15-bit; sentinel above
+
+
+def _slot_layout(differential: bool):
+    """(run bounds, per-slot table ids [A], per-slot modifier rows [A,4])."""
+    kb = ETC1_RUN_BOUNDS[differential]
+    slot_tables = np.repeat(np.arange(8, dtype=np.int32), kb)
+    mods_a = np.repeat(np.asarray(etc_tables.ETC1_MODIFIER_TABLES,
+                                  dtype=np.int32), kb, axis=0)
+    return kb, slot_tables, mods_a
+
+
+def _etc1_candidates_dedup(cum, sector_pixels, sector_pw, differential: bool,
+                           options: Options):
+    """One (flip, sector, d) candidate set on the run-slot axis.
+
+    cum: 3 x [N] int32 channel sums of the 8 sector pixels. Returns
+    (error [N,A], color [N,A], selectors [N,A], table [N,A]), where A =
+    sum(ETC1_RUN_BOUNDS[differential]) and slots are in (table, run)
+    order — the reference's deduped visitation order. Empty slots carry
+    INF error (and color 0), so they can never win a reduction nor be
+    chosen as a differential partner.
+    """
+    n = cum[0].shape[0]
+    offsets, _ = _padded_offsets()
+    kb, slot_tables, mods_a = _slot_layout(differential)
+
+    cum_b = [c[:, None, None] for c in cum]
+    offs_b = jnp.asarray(offsets)[None, :, :]          # [1,8,81]
+    cu = [jnp.clip(c + offs_b, 0, 2040) for c in cum_b]
+    quant = [_quantize_etc1_base(c, differential) for c in cu]
+    packed = quant[0] | (quant[1] << 5) | (quant[2] << 10)   # [N,8,81]
+
+    # per-table run ids (prefix count of color changes)
+    prev = jnp.concatenate(
+        [jnp.full((n, 8, 1), -1, dtype=jnp.int32), packed[:, :, :-1]],
+        axis=-1)
+    u = jnp.cumsum((packed != prev).astype(jnp.int32), axis=-1) - 1
+
+    # compact each table's runs into its K_t slots (masked min; a run's
+    # elements all carry the same color, so min == the run color)
+    ucolors = []
+    for t in range(8):
+        ks = jnp.arange(kb[t], dtype=jnp.int32)
+        m = u[:, t, :, None] == ks[None, None, :]
+        ucolors.append(jnp.min(
+            jnp.where(m, packed[:, t, :, None], _EMPTY_COLOR), axis=1))
+    ucolor = jnp.concatenate(ucolors, axis=1)          # [N, A]
+    is_empty = ucolor == _EMPTY_COLOR
+    ucolor = jnp.where(is_empty, 0, ucolor)
+
+    error, selectors = _test_half_block_flat(
+        ucolor, sector_pixels, sector_pw, mods_a, differential, options)
+    error = jnp.where(is_empty, INF, error)
+    table = jnp.broadcast_to(jnp.asarray(slot_tables)[None, :], error.shape)
+    return error, ucolor, selectors, table
+
+
 def _test_half_block(packed, sector_pixels, sector_pw, modifiers,
                      differential: bool, options: Options):
     """TestHalfBlock (ETC.cpp:94-149), batched over candidate axes.
@@ -195,6 +273,36 @@ def _test_half_block(packed, sector_pixels, sector_pw, modifiers,
         pw = [sector_pw[px][ch][:, None, None, None] for ch in range(3)]
         err = compute_error(modified, pix, pw, options)  # [N,4,T,C]
         # per-pixel best selector: strict-less, first wins == ordered argmin
+        sel = lanes.first_argmin(err, 1).astype(jnp.int32)
+        best = jnp.min(err, axis=1)
+        total_error = best if total_error is None else total_error + best
+        s = sel << (px * 2)
+        selectors = s if selectors is None else selectors | s
+    return total_error, selectors
+
+
+def _test_half_block_flat(packed, sector_pixels, sector_pw, mods_a,
+                          differential: bool, options: Options):
+    """_test_half_block on a flat candidate axis with PER-SLOT modifier
+    rows (the run-slot layout): packed [N, A] int32, mods_a [A, 4] static.
+    Identical arithmetic to _test_half_block (same dtypes and op order),
+    so slot errors are bit-identical to the dense axis entries they
+    deduplicate."""
+    quant = [(packed >> (ch * 5)) & 31 for ch in range(3)]
+    if differential:
+        unquant = [(q << 3) | (q >> 2) for q in quant]
+    else:
+        unquant = [(q << 4) | q for q in quant]
+
+    mods = jnp.asarray(mods_a).T[None, :, :]           # [1,4,A]
+    modified = [jnp.clip(u[:, None, :] + mods, 0, 255) for u in unquant]
+
+    selectors = None
+    total_error = None
+    for px in range(8):
+        pix = [sector_pixels[px][ch][:, None, None] for ch in range(3)]
+        pw = [sector_pw[px][ch][:, None, None] for ch in range(3)]
+        err = compute_error(modified, pix, pw, options)   # [N,4,A]
         sel = lanes.first_argmin(err, 1).astype(jnp.int32)
         best = jnp.min(err, axis=1)
         total_error = best if total_error is None else total_error + best
@@ -252,48 +360,72 @@ def compress_etc1_internal(stage: StageBest, rank_base: int, pixels, pw,
 
         for d in range(min_d, 2):
             for sector in range(2):
-                cum_b = [sector_cum[sector][ch][:, None, None]
-                         for ch in range(3)]
-                offs_b = jnp.asarray(offsets)[None, :, :]  # [1,T,C]
-                cu = [jnp.clip(c + offs_b, 0, 2040) for c in cum_b]
                 if not fake:
-                    quant = [_quantize_etc1_base(c, d == 1) for c in cu]
+                    # run-deduplicated slot axis (see ETC1_RUN_BOUNDS): on
+                    # slots every attempt is unique, so the visitation
+                    # rank IS the slot position
+                    error, colors, selectors, tables_b = \
+                        _etc1_candidates_dedup(
+                            sector_cum[sector], sector_pixels[sector],
+                            sector_pw[sector], d == 1, options)
+                    kb = ETC1_RUN_BOUNDS[d == 1]
+                    urank = jnp.broadcast_to(
+                        jnp.arange(error.shape[1],
+                                   dtype=jnp.int32)[None, :], error.shape)
+                    row_chunks = tuple(
+                        (int(s), int(s + k))
+                        for s, k in zip(np.cumsum((0,) + kb[:-1]), kb))
                 else:
-                    quant = _resolve_fake_bt709_rounding(cu, d == 1, accurate)
-                packed = quant[0] | (quant[1] << 5) | (quant[2] << 10)
+                    # FakeBT709's octant-corrected quantizer is not
+                    # run-structured in the offset, so the static slot
+                    # bound does not apply: keep the dense axis
+                    cum_b = [sector_cum[sector][ch][:, None, None]
+                             for ch in range(3)]
+                    offs_b = jnp.asarray(offsets)[None, :, :]  # [1,T,C]
+                    cu = [jnp.clip(c + offs_b, 0, 2040) for c in cum_b]
+                    quant = _resolve_fake_bt709_rounding(cu, d == 1,
+                                                         accurate)
+                    packed = quant[0] | (quant[1] << 5) | (quant[2] << 10)
 
-                error, selectors = _test_half_block(
-                    packed, sector_pixels[sector], sector_pw[sector],
-                    modifiers, d == 1, options)
+                    error, selectors = _test_half_block(
+                        packed, sector_pixels[sector], sector_pw[sector],
+                        modifiers, d == 1, options)
 
-                table_ids = jnp.broadcast_to(
-                    jnp.arange(8, dtype=jnp.int32)[None, :, None],
-                    packed.shape)
+                    table_ids = jnp.broadcast_to(
+                        jnp.arange(8, dtype=jnp.int32)[None, :, None],
+                        packed.shape)
+                    colors = jnp.broadcast_to(packed,
+                                              error.shape).reshape(n, -1)
+                    tables_b = jnp.broadcast_to(table_ids,
+                                                error.shape).reshape(n, -1)
+                    error = error.reshape(n, -1)
+                    selectors = selectors.reshape(n, -1)
+                    urank = _unique_rank(colors, 8, c_count)
+                    per = c_count
+                    row_chunks = tuple((t * per, (t + 1) * per)
+                                       for t in range(8))
 
-                packed_b = jnp.broadcast_to(packed, error.shape)
-                tables_b = jnp.broadcast_to(table_ids, error.shape)
                 if d == 0:
                     # individual: per-sector lex-argmin in (table, offset) order
-                    flat_err = error.reshape(n, -1)
-                    win = lanes.first_argmin(flat_err, -1)
+                    win = lanes.first_argmin(error, -1)
 
                     def gather(x, win=win):
-                        return lanes.take_winner(x.reshape(n, -1), win)
+                        return lanes.take_winner(x, win)
 
                     ind_best[sector] = dict(
-                        error=gather(flat_err),
-                        color=gather(packed_b),
+                        error=gather(error),
+                        color=gather(colors),
                         selectors=gather(selectors),
                         table=gather(tables_b),
                     )
                 else:
                     diff_data[sector] = dict(
-                        error=error.reshape(n, -1),
-                        color=packed_b.reshape(n, -1),
-                        selectors=selectors.reshape(n, -1),
-                        table=tables_b.reshape(n, -1),
-                        urank=_unique_rank(packed_b.reshape(n, -1), 8,
-                                           c_count),
+                        error=error,
+                        color=colors,
+                        selectors=selectors,
+                        table=tables_b,
+                        urank=urank,
+                        row_chunks=row_chunks,
                     )
 
             if d == 0:
@@ -360,7 +492,11 @@ def _resolve_differential(diff_data, n, best_in, can_ignore=None):
     u0 = diff_data[0]["urank"]
     u1 = diff_data[1]["urank"]
     a_count = e0.shape[1]
-    per_table = a_count // 8
+    row_chunks = diff_data[0].get("row_chunks")
+    if row_chunks is None:
+        per_table = a_count // 8
+        row_chunks = tuple((t * per_table, (t + 1) * per_table)
+                           for t in range(8))
     big = jnp.int32(2**30)
 
     unit = 1 | (1 << 10) | (1 << 20)
@@ -391,9 +527,8 @@ def _resolve_differential(diff_data, n, best_in, can_ignore=None):
     # [N, A] pass (its legality row + e1 == mine1[win], then min u1j,
     # which is exactly the (e1, u1j) lex-min the scan commits).
     mine1_rows = []
-    for t0 in range(8):
-        s0 = slice(t0 * per_table, (t0 + 1) * per_table)
-        f0s = fields0[:, s0][:, :, None]
+    for (c0a, c0b) in row_chunks:
+        f0s = fields0[:, c0a:c0b][:, :, None]
         diff = fields1[:, None, :] - f0s
         ok = (diff & swar_mask) == swar_legal              # [N,rows,A]
         if ignore_any is not None:

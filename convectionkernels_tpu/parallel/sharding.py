@@ -82,6 +82,26 @@ def encode_sharded(encode_fn, pixels, mesh: Mesh | None = None,
 
     pixels = np.asarray(pixels)
     n = pixels.shape[0]
+
+    split = getattr(encode_fn, "split", None)
+    if split is not None:
+        # Host-routed program split (ETC2 punchthrough's transparency
+        # classification, api._etc2_pt_dispatch): classify on host, shard
+        # each subset through its own (much cheaper) program, scatter the
+        # outputs back in raster order. Byte-exact vs the single-device
+        # dispatcher because the same subsets run the same programs.
+        classify, opaque_fn, pt_fn = split
+        route_pt = classify(pixels)
+        if route_pt.all() or not route_pt.any():
+            sub_fn = pt_fn if route_pt.any() else opaque_fn
+            return encode_sharded(sub_fn, pixels, mesh, chunk)
+        out_o = encode_sharded(opaque_fn, pixels[~route_pt], mesh, chunk)
+        out_p = encode_sharded(pt_fn, pixels[route_pt], mesh, chunk)
+        out = np.empty((n,) + out_o.shape[1:], dtype=out_o.dtype)
+        out[~route_pt] = out_o
+        out[route_pt] = out_p
+        return out
+
     n_pad = pad_to_multiple(n, num_devices)
     if n_pad != n:
         pad = np.broadcast_to(pixels[:1], (n_pad - n,) + pixels.shape[1:])

@@ -106,6 +106,29 @@ def test_sharded_work_not_replicated(meshes):
         f"sharding is replicating the batch")
 
 
+def test_etc2_punchthrough_sharded_routes_split(meshes):
+    """VERDICT r3 #7: the sharded punchthrough path must route the
+    transparency split (opaque blocks -> plain-ETC2 program, transparent
+    blocks -> punchthrough-only program) instead of regressing every
+    shard to the monolithic program, and the result must be byte-exact
+    vs the single-device host dispatcher on a mixed batch."""
+    mesh1, mesh8 = meshes
+    rng = np.random.default_rng(26)
+    px = blockgen.mixed_blocks(96, seed=27).copy()
+    px[..., 3] = rng.integers(0, 256, size=(96, 16))  # mixed transparency
+    fn = api._etc_fn(LIGHT, "etc2_pt")
+    assert fn.split is not None
+    host = np.asarray(fn(px))
+    got1 = sharding.encode_sharded(fn, px, mesh1, chunk=8)
+    got8 = sharding.encode_sharded(fn, px, mesh8, chunk=8)
+    assert (host == got1).all()
+    assert (host == got8).all()
+    # both subsets must actually occur, or the routing isn't exercised
+    classify = fn.split[0]
+    routed = classify(px)
+    assert routed.any() and not routed.all()
+
+
 def test_bc6h_sharded_chunked_bit_exact(meshes):
     from tests.test_bc6h import hdr_blocks
     mesh1, mesh8 = meshes
