@@ -18,12 +18,26 @@ numbers by a similar factor. The honest per-chip metric is the
 ON-DEVICE execution time of one fresh (non-memoized) run, read from the
 jax.profiler device trace — that is what a production deployment (where
 the executable is resident) would see. A salted input guarantees the
-profiled run is not a memoized replay.
+profiled run is not a memoized replay. Every rep's device time is
+recorded (VERDICT r3 #6: spread, not best-of-N) and the reported rate
+uses the MINIMUM (steady-state; the other reps bound trace noise).
 
-Per-format details are printed to stderr.
+Per-format details go to stderr and BENCH_DETAILS.json, including:
+- all reps' device ms + the min-based Mtexels/s and vs-SSE2 speedup;
+- XLA cost-model flops / device-time = achieved Gflop/s, plus
+  %-of-VPU-peak when tools/vpu_peak.py numbers are present in
+  VPU_PEAK.json (utilization evidence, VERDICT r3 #3; the cost model
+  counts float ops only, so int-heavy codecs show a LOWER bound);
+- a natural-image-class corpus row (the pinned quality corpus) for the
+  three data-dependent formats, guarding against synthetic-input
+  overfitting.
+
+Env knobs: BENCH_BUDGET_S (default 1500) wall budget; BENCH_ONLY
+(comma list) restricts configs.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -40,6 +54,8 @@ REF_SLICE_BLOCKS = 2048
 # Device-side measurement batch (one compiled program's worth of blocks).
 BENCH_BLOCKS = 65536
 
+REPS = 3
+
 
 def blockify_test_image(n_blocks: int, seed: int = 42) -> np.ndarray:
     """Gradient+noise blocks approximating natural-image statistics."""
@@ -51,6 +67,22 @@ def blockify_test_image(n_blocks: int, seed: int = 42) -> np.ndarray:
     px = np.clip(c0 + (c1 - c0) * t + noise, 0, 255).astype(np.uint8)
     px[..., 3] = 255
     return px
+
+
+def corpus_blocks(n_blocks: int) -> np.ndarray:
+    """Natural-image-class blocks: the pinned quality corpus (smooth
+    gradients + multi-octave texture + hard edges), tiled to n_blocks.
+    Opaque alpha so the timing compares against blockify_test_image on
+    the same code path."""
+    from tests.test_quality_corpus import corpus_images
+    from convectionkernels_tpu.utils import image as image_util
+
+    parts = [image_util.blockify(img) for img in corpus_images().values()]
+    blocks = np.concatenate(parts, axis=0)
+    reps = (n_blocks + blocks.shape[0] - 1) // blocks.shape[0]
+    out = np.tile(blocks, (reps, 1, 1))[:n_blocks].copy()
+    out[..., 3] = 255
+    return out
 
 
 def hdr_test_blocks(n_blocks: int, seed: int = 43) -> np.ndarray:
@@ -83,10 +115,10 @@ def _device_exec_seconds(traced) -> float:
     return total / 1e6
 
 
-def bench_ours(fn, pixels):
-    """On-device execution time of one fresh run via jax.profiler
-    (see module docstring). Falls back to wall clock when the trace has
-    no device lane (pure-CPU runs)."""
+def bench_ours(fn, pixels, reps=REPS):
+    """On-device execution times of `reps` fresh runs via jax.profiler
+    (see module docstring). Returns (reps_device_s list, cost_flops).
+    Falls back to wall clock when the trace has no device lane."""
     import shutil
     import tempfile
 
@@ -101,10 +133,16 @@ def bench_ours(fn, pixels):
 
     x0 = jax.device_put(pixels)
     np.asarray(fn(x0))  # compile + settle
+    try:
+        ca = jax.jit(fn).lower(x0).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        cost_flops = float(ca.get("flops", 0.0))
+    except Exception:
+        cost_flops = 0.0
 
     salt = np.int32(time.time_ns() & 0x3FFFFFFF)
-    best = None
-    for rep in range(2):
+    times = []
+    for rep in range(reps):
         x = salt_input(x0, salt + np.int32(rep + 1))
         tmp = tempfile.mkdtemp(prefix="benchtrace")
         try:
@@ -115,17 +153,20 @@ def bench_ours(fn, pixels):
             dev = _device_exec_seconds(tmp)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
-        dt = dev if dev > 0 else wall
-        best = dt if best is None or dt < best else best
-    return pixels.shape[0] * 16 / best / 1e6
+        times.append(dev if dev > 0 else wall)
+    return times, cost_flops
 
 
 def bench_reference(name, pixels, iters=1, **kwargs):
     """Reference CVTT SSE2 build at -O2, single core."""
+    import dataclasses
+
     from tests.oracle.cvtt_oracle import CvttOracle, OracleOptions
 
     oracle = CvttOracle("sse2")
-    opts = OracleOptions()
+    overrides = {k: kwargs.pop(k) for k in ("flags", "threshold")
+                 if k in kwargs}
+    opts = dataclasses.replace(OracleOptions(), **overrides)
     fn = getattr(oracle, f"encode_{name}")
     fn(pixels[:64], opts, **kwargs)  # warmup
 
@@ -136,25 +177,25 @@ def bench_reference(name, pixels, iters=1, **kwargs):
     return pixels.shape[0] * 16 / dt / 1e6
 
 
-def main():
-    import os
-
+def _configs():
+    """(name, ours_fn, pixels, (ref_name, ref_pixels, ref_kwargs))."""
     from convectionkernels_tpu import Options
-    from convectionkernels_tpu.api import (_bc1_fn, _bc3_fn, _bc6h_fn,
+    from convectionkernels_tpu.api import (_bc1_fn, _bc2_fn, _bc3_fn,
+                                           _bc4_fn, _bc5_fn, _bc6h_fn,
                                            _bc7_fn, _eac_fn, _etc_fn)
     from convectionkernels_tpu.bc7_plan import (BC7EncodingPlan,
                                                 plan_from_quality)
-
-    # Skip-and-log remaining formats when the wall-clock deadline nears:
-    # one slow format must never starve the rest of the record (VERDICT r2).
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1500"))
-    deadline = time.perf_counter() + budget_s
+    from convectionkernels_tpu.options import Flags
 
     opt = Options()
     px = blockify_test_image(BENCH_BLOCKS)
     hdr = hdr_test_blocks(BENCH_BLOCKS)
     rng = np.random.default_rng(44)
     s16 = rng.integers(0, 2048, size=(BENCH_BLOCKS, 16), dtype=np.int16)
+    s16s = rng.integers(-1024, 1024, size=(BENCH_BLOCKS, 16),
+                        dtype=np.int16)
+    i8 = rng.integers(-128, 128, size=(BENCH_BLOCKS, 16, 4)
+                      ).astype(np.int8)
     # punchthrough input needs real transparency variation or the
     # classification short-circuits to the opaque path
     px_alpha = px.copy()
@@ -162,17 +203,45 @@ def main():
 
     ref_px = px[:REF_SLICE_BLOCKS]
     ref_hdr = hdr[:REF_SLICE_BLOCKS]
-    ref_s16 = s16[:REF_SLICE_BLOCKS]
 
-    results = {}
-    # Headline format FIRST so its JSON lands even if a later format blows
-    # the budget; then the formats with no prior recorded measurement
-    # (bc6hu, bc7_q100), then the rest. Reference slices for the ultra-slow
-    # oracle configs are shrunk so SSE2 time stays bounded (rates are
-    # stable well below these counts).
-    for name, fn, pixels, ref in [
-        ("bc7_q50", _bc7_fn(opt, plan_from_quality(50)), px,
+    exhaustive = Options(flags=opt.flags | Flags.S3TC_EXHAUSTIVE)
+    fake709 = Options(flags=opt.flags | Flags.ETC_USE_FAKE_BT709)
+    bc7_slow = Options(flags=opt.flags & ~Flags.BC7_FAST_INDEXING)
+
+    q50 = plan_from_quality(50)
+    corpus = corpus_blocks(BENCH_BLOCKS)
+
+    # Ordering: headline first (its JSON must land whatever happens),
+    # then formats with no prior recorded measurement (VERDICT r3 #8),
+    # then the round-over-round tracking set, then flag-cost configs,
+    # then the natural-corpus rows. Ultra-slow oracle configs get small
+    # reference slices (rates are stable well below these counts).
+    return [
+        ("bc7_q50", _bc7_fn(opt, q50), px,
          ("bc7", ref_px[:1024], {"quality": 50})),
+        # --- previously unmeasured API surface ---
+        ("etc1", _etc_fn(opt, "etc1"), px, ("etc1", ref_px[:1024], {})),
+        ("etc2_rgba", _etc_fn(opt, "etc2_rgba"), px,
+         ("etc2_rgba", ref_px[:1024], {})),
+        ("etc2_alpha", _etc_fn(opt, "etc2_alpha"), px_alpha,
+         ("etc2_alpha", px_alpha[:REF_SLICE_BLOCKS], {})),
+        ("bc2", _bc2_fn(opt), px, ("bc2", ref_px, {})),
+        ("bc4u", _bc4_fn(opt, False), px, ("bc4u", ref_px, {})),
+        ("bc4s", _bc4_fn(opt, True), i8,
+         ("bc4s", i8[:REF_SLICE_BLOCKS], {})),
+        ("bc5u", _bc5_fn(opt, False), px, ("bc5u", ref_px, {})),
+        ("bc5s", _bc5_fn(opt, True), i8,
+         ("bc5s", i8[:REF_SLICE_BLOCKS], {})),
+        ("eac_r11s", _eac_fn(opt, True), s16s,
+         ("eac11", s16s[:REF_SLICE_BLOCKS], {"signed": True})),
+        # --- flag-documented cost configs (ConvectionKernels.h:35,47,56) ---
+        ("bc1_exhaustive", _bc1_fn(exhaustive), px,
+         ("bc1", ref_px[:256], {"flags": exhaustive.flags})),
+        ("etc2_fakebt709", _etc_fn(fake709, "etc2"), px,
+         ("etc2", ref_px[:512], {"flags": fake709.flags})),
+        ("bc7_q50_slowindex", _bc7_fn(bc7_slow, q50), px,
+         ("bc7", ref_px[:512], {"quality": 50, "flags": bc7_slow.flags})),
+        # --- round-over-round tracking set ---
         ("bc6hu", _bc6h_fn(opt, False), hdr,
          ("bc6h", ref_hdr[:256], {"signed": False})),
         ("bc7_q100", _bc7_fn(opt, BC7EncodingPlan()), px,
@@ -183,20 +252,49 @@ def main():
          ("etc2", ref_px[:1024], {})),
         ("etc2_punchthrough", _etc_fn(opt, "etc2_pt"), px_alpha,
          ("etc2_punchthrough", px_alpha[:1024], {})),
-        ("eac_r11", _eac_fn(opt, False), s16,
-         ("eac11", ref_s16, {})),
-    ]:
+        ("eac_r11", _eac_fn(opt, False), s16, ("eac11", s16, {})),
+        # --- natural-image corpus (data-dependent timing guard) ---
+        ("bc7_q50_corpus", _bc7_fn(opt, q50), corpus,
+         ("bc7", corpus[:1024], {"quality": 50})),
+        ("etc2_corpus", _etc_fn(opt, "etc2"), corpus,
+         ("etc2", corpus[:1024], {})),
+        ("bc1_corpus", _bc1_fn(opt), corpus,
+         ("bc1", corpus[:REF_SLICE_BLOCKS], {})),
+    ]
+
+
+def main():
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+    deadline = time.perf_counter() + budget_s
+    only = os.environ.get("BENCH_ONLY")
+    only = set(only.split(",")) if only else None
+
+    peak_flops = None
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "VPU_PEAK.json")) as f:
+            peak_flops = json.load(f)["vpu_f32_flops"] * 1e12
+    except Exception:
+        pass
+
+    details = {}
+    for name, fn, pixels, ref in _configs():
+        if only is not None and name not in only:
+            continue
         if name != "bc7_q50" and time.perf_counter() > deadline - 60:
             print(f"{name}: SKIPPED (bench budget {budget_s:.0f}s exhausted)",
                   file=sys.stderr, flush=True)
             continue
         # profile ONE chunk-sized program execution: the chunked wrapper's
-        # 16 dispatches each re-upload the executable through the tunnel,
+        # dispatches each re-upload the executable through the tunnel,
         # which overflows the profiler window; one chunk is the honest
         # per-chip steady-state unit (the product path just repeats it)
         try:
             n_bench = min(pixels.shape[0], fn.chunk)
-            ours = bench_ours(fn.jitted_body, pixels[:n_bench])
+            reps_s, cost_flops = bench_ours(fn.jitted_body,
+                                            pixels[:n_bench])
+            dt = min(reps_s)
+            ours = n_bench * 16 / dt / 1e6
             ref_name, ref_pixels, ref_kwargs = ref
             ref_rate = bench_reference(ref_name, ref_pixels, **ref_kwargs)
         except Exception as exc:  # keep the headline alive: the remote
@@ -204,9 +302,25 @@ def main():
             print(f"{name}: FAILED ({type(exc).__name__}: "
                   f"{str(exc)[:200]})", file=sys.stderr, flush=True)
             continue
-        results[name] = (ours, ref_rate, ours / ref_rate)
-        print(f"{name}: ours {ours:.1f} Mtexels/s, reference SSE2 "
-              f"{ref_rate:.3f} Mtexels/s, speedup {ours / ref_rate:.1f}x",
+        gflops = cost_flops / dt / 1e9 if cost_flops else 0.0
+        entry = {
+            "mtexels_per_s": round(ours, 3),
+            "reps_device_ms": [round(t * 1e3, 3) for t in reps_s],
+            "blocks": int(n_bench),
+            "ref_sse2_mtexels_per_s": round(ref_rate, 4),
+            "speedup_vs_sse2": round(ours / ref_rate, 2),
+            "cost_model_gflop_per_s": round(gflops, 1),
+        }
+        if peak_flops and gflops:
+            entry["pct_of_vpu_peak_lower_bound"] = round(
+                100 * gflops * 1e9 / peak_flops, 1)
+        details[name] = entry
+        spread = (max(reps_s) - min(reps_s)) / min(reps_s) * 100
+        print(f"{name}: ours {ours:.1f} Mtexels/s "
+              f"(reps {['%.2f' % (t * 1e3) for t in reps_s]} ms, "
+              f"spread {spread:.0f}%), reference SSE2 {ref_rate:.3f}, "
+              f"speedup {ours / ref_rate:.1f}x"
+              + (f", {gflops:.0f} Gflop/s" if gflops else ""),
               file=sys.stderr, flush=True)
         if name == "bc7_q50":
             # emit the headline JSON the moment it exists — nothing that
@@ -218,7 +332,15 @@ def main():
                 "vs_baseline": round(ours / ref_rate, 3),
             }), flush=True)
 
-    if "bc7_q50" not in results:
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_DETAILS.json")
+    try:
+        with open(out_path, "w") as f:
+            json.dump(details, f, indent=1, sort_keys=True)
+    except OSError:
+        pass
+
+    if only is None and "bc7_q50" not in details:
         raise SystemExit("bc7_q50 headline measurement failed")
 
 

@@ -227,13 +227,17 @@ def _etc1_candidates_dedup(cum, sector_pixels, sector_pw, differential: bool,
     u = jnp.cumsum((packed != prev).astype(jnp.int32), axis=-1) - 1
 
     # compact each table's runs into its K_t slots (masked min; a run's
-    # elements all carry the same color, so min == the run color)
+    # elements all carry the same color, so min == the run color). Slot
+    # axis on SUBLANES, offset axis minor: the [N, K_t, 81] grids live
+    # only inside their reduce fusions (a concatenated one-grid variant
+    # materialized [N, 81, A] broadcasts — ~1 GB of HBM traffic), and
+    # only the small [N, K_t] outputs pad.
     ucolors = []
     for t in range(8):
         ks = jnp.arange(kb[t], dtype=jnp.int32)
-        m = u[:, t, :, None] == ks[None, None, :]
+        m = u[:, t, None, :] == ks[None, :, None]      # [N, K_t, 81]
         ucolors.append(jnp.min(
-            jnp.where(m, packed[:, t, :, None], _EMPTY_COLOR), axis=1))
+            jnp.where(m, packed[:, t, None, :], _EMPTY_COLOR), axis=2))
     ucolor = jnp.concatenate(ucolors, axis=1)          # [N, A]
     is_empty = ucolor == _EMPTY_COLOR
     ucolor = jnp.where(is_empty, 0, ucolor)
@@ -287,26 +291,37 @@ def _test_half_block_flat(packed, sector_pixels, sector_pw, mods_a,
     rows (the run-slot layout): packed [N, A] int32, mods_a [A, 4] static.
     Identical arithmetic to _test_half_block (same dtypes and op order),
     so slot errors are bit-identical to the dense axis entries they
-    deduplicate."""
+    deduplicate.
+
+    The 8-pixel loop is an ARRAY axis (position -2: an exact sublane
+    tile), so the whole error scan is one [N,4,8,A] fused reduce instead
+    of 8 small per-pixel fusions (per-op launch overhead dominated the
+    op-level profile); the per-pixel error sum stays a sequential
+    Python-loop chain over slices for the reference's f32 accumulation
+    order."""
     quant = [(packed >> (ch * 5)) & 31 for ch in range(3)]
     if differential:
         unquant = [(q << 3) | (q >> 2) for q in quant]
     else:
         unquant = [(q << 4) | q for q in quant]
 
-    mods = jnp.asarray(mods_a).T[None, :, :]           # [1,4,A]
-    modified = [jnp.clip(u[:, None, :] + mods, 0, 255) for u in unquant]
+    mods = jnp.asarray(mods_a).T[None, :, None, :]     # [1,4,1,A]
+    modified = [jnp.clip(u[:, None, None, :] + mods, 0, 255)
+                for u in unquant]                      # [N,4,1,A]
+
+    pix = [jnp.stack([sector_pixels[px][ch] for px in range(8)],
+                     axis=1)[:, None, :, None] for ch in range(3)]
+    pw = [jnp.stack([sector_pw[px][ch] for px in range(8)],
+                    axis=1)[:, None, :, None] for ch in range(3)]
+    err = compute_error(modified, pix, pw, options)    # [N,4,8,A]
+    best, sel = lanes.lex_min_with_index(err, 1)       # [N,8,A] each
 
     selectors = None
     total_error = None
     for px in range(8):
-        pix = [sector_pixels[px][ch][:, None, None] for ch in range(3)]
-        pw = [sector_pw[px][ch][:, None, None] for ch in range(3)]
-        err = compute_error(modified, pix, pw, options)   # [N,4,A]
-        sel = lanes.first_argmin(err, 1).astype(jnp.int32)
-        best = jnp.min(err, axis=1)
-        total_error = best if total_error is None else total_error + best
-        s = sel << (px * 2)
+        b = best[:, px, :]
+        total_error = b if total_error is None else total_error + b
+        s = sel[:, px, :] << (px * 2)
         selectors = s if selectors is None else selectors | s
     return total_error, selectors
 
@@ -407,13 +422,13 @@ def compress_etc1_internal(stage: StageBest, rank_base: int, pixels, pw,
 
                 if d == 0:
                     # individual: per-sector lex-argmin in (table, offset) order
-                    win = lanes.first_argmin(error, -1)
+                    win_err, win = lanes.lex_min_with_index(error, -1)
 
                     def gather(x, win=win):
                         return lanes.take_winner(x, win)
 
                     ind_best[sector] = dict(
-                        error=gather(error),
+                        error=win_err,
                         color=gather(colors),
                         selectors=gather(selectors),
                         table=gather(tables_b),
@@ -684,10 +699,22 @@ def _resolve_fake_bt709_rounding(cu, differential, accurate):
 # --- T / H / planar searches ----------------------------------------------------
 
 def _div_exact_int(numer, divisor):
-    """Per-lane integer division with divisor-0 -> 0 (the reference's scalar
-    loops, e.g. ETC.cpp:438-446). Integer division is exact in XLA."""
+    """Per-lane exact integer floor division with divisor-0 -> 0 (the
+    reference's scalar loops, e.g. ETC.cpp:438-446).
+
+    Both operands are non-negative with numer < 2^24 and divisor < 2^13
+    at every call site. s32 divide lowers to a long multi-op sequence on
+    TPU; a native f32 divide plus a +-1 integer fixup is ~3x cheaper and
+    unconditionally exact: f32 represents both operands exactly, the
+    native quotient is within ~ulp-scale of the rational value (so within
+    1 of the true floor), and the fixup corrects any +-1 estimate to the
+    true floor using exact integer products."""
     safe = jnp.maximum(divisor, 1)
-    return jnp.where(divisor == 0, 0, numer // safe)
+    q = jnp.trunc(numer.astype(jnp.float32)
+                  / safe.astype(jnp.float32)).astype(jnp.int32)
+    q = q + jnp.where((q + 1) * safe <= numer, 1, 0)
+    q = q - jnp.where(q * safe > numer, 1, 0)
+    return jnp.where(divisor == 0, 0, q)
 
 
 def encode_tmode(stage: StageBest, rank_base: int, is_isolated, pixels, pw,
@@ -800,13 +827,19 @@ def encode_tmode(stage: StageBest, rank_base: int, is_isolated, pixels, pw,
         selectors = sel_shift if selectors is None \
             else selectors | sel_shift
 
-    # candidate reduce in dense (table, offset) order == unique order
-    win = lanes.first_argmin(error, -1)
+    # candidate reduce in dense (table, offset) order == unique order;
+    # one-pass (value, index) reduce over a barriered error array so the
+    # 16-pixel error chain is computed exactly once (not re-fused into
+    # each reduction pass)
+    import jax as _jax
+    error, selectors, packed = _jax.lax.optimization_barrier(
+        (error, selectors, packed))
+    win_err, win = lanes.lex_min_with_index(error, -1)
 
     def g(x, win=win):
         return lanes.take_winner(x, win)
 
-    best = dict(error=g(error), packed=g(packed), selectors=g(selectors),
+    best = dict(error=win_err, packed=g(packed), selectors=g(selectors),
                 table=win // n_offs)
 
     line_color = [(best["packed"] >> (ch * 5)) & 15 for ch in range(3)]
@@ -848,12 +881,13 @@ def encode_hmode(stage: StageBest, rank_base: int, groupings, pixels, pw,
     """EncodeHMode (ETC.cpp:649-886).
 
     Restructured for TPU bandwidth: the 8 modifier tables flatten into
-    one [N, 264] candidate-color axis (as in encode_tmode), and the
-    (i1, i0) pair scan accumulates ONLY the pair total, expressed as
-    broadcasts of the [N, 264] per-pixel errors into a [N, 8, 33, 33]
-    chain that XLA fuses into the single [N, 8712] lexicographic argmin —
-    no materialized pair grids. The winner's per-pixel sector/sign bits
-    are recomputed afterwards from the winning pair's colors on [N, 16]
+    one flat candidate-color axis (as in encode_tmode), everything is
+    laid out BLOCK-MINOR (candidate/pixel axes leading, the 4096-block
+    axis on the 128-lane tile dim, so nothing pads), and the (i1, i0)
+    pair scan accumulates ONLY the pair total as a barriered
+    [8, 33, 33, N] chain resolved by a one-pass (value, index)
+    lexicographic reduce. The winner's per-pixel sector/sign bits are
+    recomputed afterwards from the winning pair's colors on [N, 16]
     arrays: bit-identical to the grid's decisions because the same
     compute_error inputs reproduce the same f32 values. The flat
     (table, i1-major, i0) order equals the reference's strict-improvement
@@ -876,84 +910,94 @@ def encode_hmode(stage: StageBest, rank_base: int, groupings, pixels, pw,
     th_mods = np.asarray(etc_tables.TH_MODIFIER_TABLE, dtype=np.int32)
     n_offs = 33
     K = 8 * n_offs
-    mod_k = jnp.asarray(np.repeat(th_mods, n_offs))[None, :]  # [1,K]
 
     # candidate colors per sector: premultiplier in [-16,16] clamped,
-    # flattened table-major -> [N, 264] packed (r<<10|g<<5|b)
-    offs_b = jnp.asarray(np.arange(-16, 17, dtype=np.int32))[None, :]
-    sector_colors = []
+    # built BLOCK-MINOR [264, 33x8 flat table-major, N] directly (a
+    # [N,264] build + .T cost two materialized transposes per sector in
+    # the op profile)
+    offs_c = jnp.asarray(np.arange(-16, 17, dtype=np.int32))[:, None]
+    sector_colors_t = []
     for sector in range(2):
-        clamped = jnp.maximum(-counts[sector][:, None],
-                              jnp.minimum(counts[sector][:, None], offs_b))
-        mod_addend = (clamped[:, None, :]
-                      * (2 * th_mods)[None, :, None]).reshape(n, K)
+        clamped = jnp.maximum(-counts[sector][None, :],
+                              jnp.minimum(counts[sector][None, :], offs_c))
+        mod_addend = (clamped[None, :, :]
+                      * (2 * th_mods)[:, None, None]).reshape(K, n)
         quantized = []
         for ch in range(3):
             numer = jnp.maximum(
-                0, (totals[sector][ch] * 2 + counts[sector] * 17)[:, None]
+                0, (totals[sector][ch] * 2 + counts[sector] * 17)[None, :]
                 + mod_addend)
             q = jnp.minimum(15, _div_exact_int(
-                numer, (counts[sector] * 34)[:, None]))
+                numer, (counts[sector] * 34)[None, :]))
             quantized.append(q)
-        sector_colors.append((quantized[0] << 10) | (quantized[1] << 5)
-                             | quantized[2])
+        sector_colors_t.append((quantized[0] << 10) | (quantized[1] << 5)
+                               | quantized[2])          # [264, N]
 
-    # per-candidate-color per-pixel best error over the +-modifier signs
-    def color_errors(packed):
-        unq = [(packed >> ((2 - ch) * 5)) & 15 for ch in range(3)]
-        unq = [(q << 4) | q for q in unq]
-        plus = [jnp.minimum(255, unq[ch] + mod_k) for ch in range(3)]
-        minus = [jnp.maximum(0, unq[ch] - mod_k) for ch in range(3)]
-        errs = []
-        for px in range(16):
-            pix = [pixels[px][ch][:, None] for ch in range(3)]
-            pwp = [pw[px][ch][:, None] for ch in range(3)]
-            e0 = compute_error(plus, pix, pwp, options)
-            e1 = compute_error(minus, pix, pwp, options)
-            errs.append(jnp.minimum(e0, e1))
-        return errs
+    # per-candidate-color per-pixel best error over the +-modifier signs,
+    # computed BLOCK-MINOR ([8, 33, 16px, N]): the block axis is a full
+    # lane tile and the pixel axis a full sublane tile, so neither the
+    # error arrays nor the pair grid below pad (the former [N,8,33,33]
+    # grid padded its minor 33 up to a 128-lane tile — ~4x wasted VPU
+    # work — and ran 16 per-pixel fusions where one suffices).
+    mod_kt = jnp.asarray(np.repeat(th_mods, n_offs))[:, None, None]
 
-    errs0 = color_errors(sector_colors[0])
-    errs1 = color_errors(sector_colors[1])
+    def color_errors_t(pt):
+        unq = [(pt >> ((2 - ch) * 5)) & 15 for ch in range(3)]
+        unq = [((q << 4) | q)[:, None, :] for q in unq]  # [264,1,N]
+        plus = [jnp.minimum(255, unq[ch] + mod_kt) for ch in range(3)]
+        minus = [jnp.maximum(0, unq[ch] - mod_kt) for ch in range(3)]
+        pix = [jnp.stack([pixels[px][ch] for px in range(16)],
+                         axis=0)[None, :, :] for ch in range(3)]  # [1,16,N]
+        pwp = [jnp.stack([pw[px][ch] for px in range(16)],
+                         axis=0)[None, :, :] for ch in range(3)]
+        e0 = compute_error(plus, pix, pwp, options)     # [264,16,N]
+        e1 = compute_error(minus, pix, pwp, options)
+        return jnp.minimum(e0, e1).reshape(8, n_offs, 16, n)
+
+    errs0 = color_errors_t(sector_colors_t[0])          # [8,33,16,N]
+    errs1 = color_errors_t(sector_colors_t[1])
 
     # unique ranks resetting at table boundaries (the reference dedups
     # consecutive candidates per table)
-    def table_rank(c):
-        f = c.reshape(n, 8, n_offs)
+    def table_rank(ct):
+        f = ct.reshape(8, n_offs, n)
         prev = jnp.concatenate(
-            [jnp.full((n, 8, 1), -1, dtype=jnp.int32), f[:, :, :-1]],
-            axis=-1)
-        return jnp.cumsum((f != prev).astype(jnp.int32), axis=-1) - 1
+            [jnp.full((8, 1, n), -1, dtype=jnp.int32), f[:, :-1, :]],
+            axis=1)
+        return jnp.cumsum((f != prev).astype(jnp.int32), axis=1) - 1
 
-    u0 = table_rank(sector_colors[0])  # [N,8,33]
-    u1 = table_rank(sector_colors[1])
+    u0 = table_rank(sector_colors_t[0])  # [8,33,N]
+    u1 = table_rank(sector_colors_t[1])
     # The reference's combo walk (ETC.cpp:797-815) pre-increments index0,
     # so the (0,0) pair is only reached by wrapping -- which happens iff
     # sector 1 has exactly one unique color (then index1 clamps to 0).
     # With >1 unique colors in sector 1, (0,0) is never visited.
-    nu1 = jnp.max(u1, axis=-1) + 1  # [N,8] unique counts, sector 1
+    nu1 = jnp.max(u1, axis=1) + 1  # [8,N] unique counts, sector 1
 
-    # pair totals: broadcast accumulation over [N, 8, 33(i1), 33(i0)];
-    # min(e1, e0) == where(e1 < e0, e1, e0) exactly (non-negative f32)
+    # pair totals: broadcast accumulation over [8, 33(i1), 33(i0), N];
+    # min(e1, e0) == where(e1 < e0, e1, e0) exactly (non-negative f32).
+    # The one-pass (value, index) reduce is the grid's ONLY consumer, so
+    # the whole 16-pixel chain fuses into it and is computed exactly
+    # once, with no materialized pair grid (a barrier variant that
+    # materialized the [8,33,33,N] grid measured 0.7 ms slower).
     total = None
     for px in range(16):
-        e0k = errs0[px].reshape(n, 8, 1, n_offs)
-        e1k = errs1[px].reshape(n, 8, n_offs, 1)
+        e0k = errs0[:, None, :, px, :]
+        e1k = errs1[:, :, None, px, :]
         t = jnp.minimum(e1k, e0k)
-        total = t if total is None else total + t
+        total = t if total is None else total + t       # [8,33,33,N]
 
-    skip = ((u0[:, :, None, :] == 0) & (u1[:, :, :, None] == 0)
-            & (nu1[:, :, None, None] > 1))
-    total = jnp.where(skip, INF, total).reshape(n, 8 * n_offs * n_offs)
+    skip = ((u0[:, None, :, :] == 0) & (u1[:, :, None, :] == 0)
+            & (nu1[:, None, None, :] > 1))
+    total = jnp.where(skip, INF, total)
 
-    win = lanes.first_argmin(total, -1)
-    err = jnp.min(total, axis=-1)
+    err, win = lanes.lex_min_with_index(total, (0, 1, 2))  # [N]
     table = win // (n_offs * n_offs)
     rem = win % (n_offs * n_offs)
     i1 = rem // n_offs
     i0 = rem % n_offs
-    color0 = lanes.take_winner(sector_colors[0], table * n_offs + i0)
-    color1 = lanes.take_winner(sector_colors[1], table * n_offs + i1)
+    color0 = lanes.take_winner_t(sector_colors_t[0], table * n_offs + i0)
+    color1 = lanes.take_winner_t(sector_colors_t[1], table * n_offs + i1)
 
     # winner's per-pixel decisions, recomputed on [N, 16] (pixel axis)
     modifier = lanes.take_winner(
@@ -1876,7 +1920,7 @@ def compress_etc1_punchthrough(stage, rank_base, pixels, pw, is_transparent,
                     cum_max[:, None],
                     jnp.maximum(0, sector_cum[sector][ch][:, None] + offset))
                 numer = (cu << 5) - cu + (cu >> 3) + add[:, None]
-                quant.append(numer // denom[:, None])
+                quant.append(_div_exact_int(numer, denom[:, None]))
             packed = quant[0] | (quant[1] << 5) | (quant[2] << 10)  # [N,K]
             err, sel = _test_half_block_punchthrough(
                 packed, sector_pixels[sector], sector_pw[sector],

@@ -144,6 +144,48 @@ def first_argmin(x, axis: int):
     return jnp.min(jnp.where(x == m, iota, x.shape[axis]), axis=axis)
 
 
+def lex_min_with_index(x, axes):
+    """(min value, first-occurrence flat index) over `axes` in ONE pass.
+
+    A variadic lax.reduce with an EXPLICIT lexicographic comparator:
+    (value, index) pairs reduce by strict-less on value, then strict-less
+    on index. Unlike jnp.argmin's builtin lowering (whose tie behavior
+    depends on reduction schedule — see first_argmin), this comparator is
+    associative and commutative, so any association yields the
+    first-occurrence winner. One pass means XLA fuses the producer chain
+    once instead of recomputing it for the value min and the index min
+    separately (the dominant cost in the op-level ETC profiles).
+
+    `axes` may be an int or a tuple; the flat index is row-major over the
+    given axes in order (matching reshape(...).argmin() visitation).
+    """
+    import jax
+
+    if isinstance(axes, int):
+        axes = (axes,)
+    axes = tuple(a + x.ndim if a < 0 else a for a in axes)
+    sizes = [x.shape[a] for a in axes]
+    iota = None
+    stride = 1
+    for a, s in zip(reversed(axes), reversed(sizes)):
+        term = jax.lax.broadcasted_iota(I32, x.shape, a)
+        term = term * stride if stride > 1 else term
+        iota = term if iota is None else iota + term
+        stride *= s
+    big = jnp.int32(stride)
+
+    def reducer(a, b):
+        av, ai = a
+        bv, bi = b
+        better = (bv < av) | ((bv == av) & (bi < ai))
+        return (jnp.where(better, bv, av), jnp.where(better, bi, ai))
+
+    init = (jnp.asarray(jnp.inf, dtype=x.dtype)
+            if jnp.issubdtype(x.dtype, jnp.floating)
+            else jnp.asarray(jnp.iinfo(x.dtype).max, dtype=x.dtype))
+    return jax.lax.reduce((x, iota), (init, big), reducer, axes)
+
+
 def take_winner(x, win):
     """x[i, win[i]] for x [N, K], win [N] — as a one-hot masked reduce.
 
@@ -159,6 +201,17 @@ def take_winner(x, win):
     if x.dtype == jnp.bool_:
         return jnp.any(onehot & x, axis=1)
     return jnp.sum(jnp.where(onehot, x, 0), axis=1, dtype=x.dtype)
+
+
+def take_winner_t(x, win):
+    """x[win[j], j] for x [K, N] (block-minor layout), win [N]: the
+    transposed take_winner — one-hot masked reduce over the leading axis."""
+    import jax
+
+    onehot = jax.lax.broadcasted_iota(I32, x.shape, 0) == win[None, :]
+    if x.dtype == jnp.bool_:
+        return jnp.any(onehot & x, axis=0)
+    return jnp.sum(jnp.where(onehot, x, 0), axis=0, dtype=x.dtype)
 
 
 def compute_tweak_factors(tweak: int, range_: int) -> tuple[np.float32, np.float32]:

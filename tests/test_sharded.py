@@ -115,7 +115,11 @@ def test_etc2_punchthrough_sharded_routes_split(meshes):
     mesh1, mesh8 = meshes
     rng = np.random.default_rng(26)
     px = blockgen.mixed_blocks(96, seed=27).copy()
-    px[..., 3] = rng.integers(0, 256, size=(96, 16))  # mixed transparency
+    px[..., 3] = 255
+    # make ~half the blocks punchthrough-routed (>=1 transparent pixel)
+    pt_rows = rng.permutation(96)[:48]
+    px[pt_rows, :, 3] = rng.integers(0, 256, size=(48, 16))
+    px[pt_rows, 0, 3] = 0
     fn = api._etc_fn(LIGHT, "etc2_pt")
     assert fn.split is not None
     host = np.asarray(fn(px))

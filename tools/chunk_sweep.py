@@ -61,14 +61,16 @@ def main():
             px = make_px(n)
             try:
                 t0 = time.perf_counter()
-                rate = bench_ours(jitted, px)
+                reps_s, _ = bench_ours(jitted, px)
+                rate = n * 16 / min(reps_s) / 1e6
                 wall = time.perf_counter() - t0
             except Exception as exc:
                 print(f"{fmt} chunk={n}: FAILED {type(exc).__name__}: "
                       f"{str(exc)[:160]}", flush=True)
                 break
             print(f"{fmt} chunk={n}: {rate:.2f} Mtexels/s "
-                  f"(incl-compile wall {wall:.0f}s)", flush=True)
+                  f"(reps {['%.2f' % (t * 1e3) for t in reps_s]} ms, "
+                  f"incl-compile wall {wall:.0f}s)", flush=True)
 
 
 if __name__ == "__main__":
