@@ -127,16 +127,21 @@ class _HDRIndexSelector:
         self.endpoints = unquantized_ep  # interpolation space
         cw = [np.float32(w) for w in channel_weights[:3]]
 
-        # base-class Init with colorSpaceEndpoints = finished EPs
-        self.origin = [lanes.to_float(finished_ep[0][ch]) for ch in range(3)]
-        diff_w = [(lanes.to_float(finished_ep[1][ch]) - self.origin[ch])
-                  * cw[ch] for ch in range(3)]
-        len_sq = diff_w[0] * diff_w[0]
-        for ch in range(1, 3):
-            len_sq = len_sq + diff_w[ch] * diff_w[ch]
-        len_sq = lanes.make_safe_denominator(len_sq)
-        mv = exact_divide(jnp.full_like(len_sq, self.max_value), len_sq)
-        self.axis = [diff_w[ch] * cw[ch] * mv for ch in range(3)]
+        if fast_indexing:
+            # base-class Init with colorSpaceEndpoints = finished EPs —
+            # the projection origin/axis are only read by the fast-
+            # indexing select, so the exact_divide here is gated (it was
+            # ~2.5 ms/chunk of dead work on the default slow path)
+            self.origin = [lanes.to_float(finished_ep[0][ch])
+                           for ch in range(3)]
+            diff_w = [(lanes.to_float(finished_ep[1][ch]) - self.origin[ch])
+                      * cw[ch] for ch in range(3)]
+            len_sq = diff_w[0] * diff_w[0]
+            for ch in range(1, 3):
+                len_sq = len_sq + diff_w[ch] * diff_w[ch]
+            len_sq = lanes.make_safe_denominator(len_sq)
+            mv = exact_divide(jnp.full_like(len_sq, self.max_value), len_sq)
+            self.axis = [diff_w[ch] * cw[ch] * mv for ch in range(3)]
 
         self.inverted = None  # per-lane flag, set by conditional_invert
 
@@ -155,8 +160,11 @@ class _HDRIndexSelector:
                  for ch in range(3)], idx)
             self.interp_unw = [lanes.twoscl_half_to_float(recon[ch])
                                for ch in range(3)]
-            self.interpolators = [self.interp_unw[ch] * cw[ch]
-                                  for ch in range(3)]
+            # the WEIGHTED interpolators (interp_unw * cw) are computed
+            # inline by the selects instead of materialized: the extra
+            # per-element multiply is far cheaper than another set of
+            # [Q, R, N] HBM round trips per meta round
+            self.cw3 = cw
 
     def _reconstruct_uninverted(self, ep_flat, index):
         """ReconstructHDR{Signed,Unsigned}Uninverted (IndexSelectorHDR.h:34-67)."""
@@ -195,12 +203,89 @@ class _HDRIndexSelector:
         err = None
         for ch in range(3):
             d = linear_weighted_pixel[ch][..., None, :] \
-                - self.interpolators[ch]
+                - self.interp_unw[ch] * self.cw3[ch]
             e = d * d
             err = e if err is None else err + e
         # sequential strict-less == first-occurrence argmin over index order
         idx = lanes.first_argmin(err, -2).astype(jnp.int32)
         return self.invert_single(idx)
+
+    def select_slow_batch(self, pix3):
+        """select_slow over a batched pixel axis: pix3 is 3 channel arrays
+        [1, 16, N]; interpolators are [Q, R, N]. Returns the UNINVERTED
+        index [Q, 16, N] via a one-pass (value, index) lexicographic
+        reduce (identical winner to the per-pixel strict-less argmin;
+        same f32 distance arithmetic)."""
+        err = None
+        for ch in range(3):
+            d = pix3[ch][:, None, :, :] \
+                - (self.interp_unw[ch] * self.cw3[ch])[:, :, None, :]
+            e = d * d
+            err = e if err is None else err + e          # [Q,R,16,N]
+        _, idx = lanes.lex_min_with_index(err, 1)
+        return idx
+
+    def select_and_error_slow_batch(self, pix3_lin, pix3_unw, cw_sq,
+                                    uniform):
+        """Fused SelectIndexHDRSlow + ComputeErrorHDRSlow over the batched
+        pixel axis: ONE (value, index, payload) reduce over the R axis
+        carries the slow error of the winning interpolant out of the same
+        pass (bit-identical to selecting first, then gathering — the
+        payload is the exact per-r error element). With no other consumer
+        of the interpolant arrays, XLA keeps them entirely inside this
+        fusion. Returns (uninverted index [Q,16,N], slow error [Q,16,N]).
+        """
+        err1 = None
+        err2 = None
+        for ch in range(3):
+            d = pix3_lin[ch][:, None, :, :] \
+                - (self.interp_unw[ch] * self.cw3[ch])[:, :, None, :]
+            e = d * d
+            err1 = e if err1 is None else err1 + e       # [Q,R,16,N]
+            d2 = self.interp_unw[ch][:, :, None, :] - pix3_unw[ch][:, None]
+            e2 = d2 * d2
+            if not uniform:
+                e2 = e2 * cw_sq[ch]
+            err2 = e2 if err2 is None else err2 + e2
+        _, idx, err2_sel = lanes.lex_min_with_payload(err1, [err2], 1)
+        return idx, err2_sel
+
+    def select_fast_batch(self, pix3):
+        """select_fast over a batched pixel axis (UNINVERTED [Q, 16, N])."""
+        dist = None
+        for ch in range(3):
+            t = (pix3[ch][:, :, :] - self.origin[ch][:, None, :]) \
+                * self.axis[ch][:, None, :]
+            dist = t if dist is None else dist + t
+        return lanes.round_and_convert_to_int_nearest(
+            lanes.clamp(dist, 0.0, self.max_value))
+
+    def slow_error_batch(self, idx_unv, pix3_unw, cw_sq, uniform):
+        """ComputeErrorHDRSlow over the batched pixel axis: gather each
+        channel's interpolant at the UNINVERTED index with one shared
+        R-step where-chain (one compare per step for all channels),
+        then the weighted squared 2CL difference."""
+        sel = [self.interp_unw[ch][:, 0, None, :] for ch in range(3)]
+        sel = [jnp.broadcast_to(s, idx_unv.shape) for s in sel]
+        for r in range(1, self.range):
+            mr = idx_unv == r
+            for ch in range(3):
+                sel[ch] = jnp.where(mr, self.interp_unw[ch][:, r, None, :],
+                                    sel[ch])
+        err = None
+        for ch in range(3):
+            d = sel[ch] - pix3_unw[ch]
+            e = d * d
+            if not uniform:
+                e = e * cw_sq[ch]
+            err = e if err is None else err + e
+        return err                                       # [Q,16,N]
+
+    def reconstruct_batch(self, idx_unv):
+        """ReconstructHDR*Uninverted over the batched pixel axis."""
+        ep_flat = [self.endpoints[0][ch][:, None, :] for ch in range(3)] + \
+            [self.endpoints[1][ch][:, None, :] for ch in range(3)]
+        return self._reconstruct_uninverted(ep_flat, idx_unv)
 
     def select_fast(self, pixel_2cl):
         """SelectIndexHDRFast = base SelectIndexLDR + inversion."""
@@ -288,6 +373,18 @@ def pack(pixels_f16bits, flags: int, channel_weights, is_signed: bool,
 
     pw_pixels = [[f2cl[px][ch] * cw[ch] for ch in range(3)]
                  for px in range(16)]
+
+    # pixel-axis stacks [1, 16, N] for the batched per-round selection
+    # (the per-pixel Python loop dominated the op-level profile: 16 px x
+    # 12 rounds x 6 groups of small [Q, N] fusions and two-pass argmins)
+    def _stack16(rows):
+        return [jnp.stack([rows[px][ch] for px in range(16)],
+                          axis=0)[None, :, :] for ch in range(3)]
+
+    flinw_s = _stack16(flinw)
+    f2cl_s = _stack16(f2cl)
+    f2cl_unw_s = _stack16(f2cl_unw)
+    pixels_s = _stack16(pixels)
 
     # PCA over 65 pixel sets: 32 partitions x 2 subsets + full block
     # (BC67.cpp:2736-2774), batched as one [N, 65] run.
@@ -381,17 +478,6 @@ def pack(pixels_f16bits, flags: int, channel_weights, is_signed: bool,
         member_ps = [jnp.asarray(
             sub_mask[:, :, px].reshape(q_count)[:, None])
             for px in range(16)]                     # [Q,1]
-        fix_arr = jnp.asarray(fixups.reshape(q_count)[:, None])  # [Q,1]
-
-        # fixup pixel values (static gather, loop-invariant)
-        fix_pix_2cl = []
-        fix_pix_lin = []
-        sel_fix = jnp.asarray(fixups.reshape(q_count))  # [Q] static
-        for ch in range(3):
-            vals_2cl = jnp.stack([f2cl[px][ch] for px in range(16)], axis=0)
-            vals_lin = jnp.stack([flinw[px][ch] for px in range(16)], axis=0)
-            fix_pix_2cl.append(vals_2cl[sel_fix])    # [Q, N]
-            fix_pix_lin.append(vals_lin[sel_fix])
 
         for tweak in range(MAX_TWEAK_ROUNDS):
             refiner = EndpointRefiner(zero_f, 3, index_range, cw)
@@ -430,8 +516,6 @@ def pack(pixels_f16bits, flags: int, channel_weights, is_signed: bool,
                                      for ch in range(3)], axis=0)
                 q_st = _quantize_element(stacked, aprec, is_signed)
                 u_st, f_st = _unquantize_element(q_st, aprec, is_signed)
-                q_eps = [[q_st[e * 3 + ch] for ch in range(3)]
-                         for e in range(2)]
                 unq = [[u_st[e * 3 + ch] for ch in range(3)]
                        for e in range(2)]
                 fin = [[f_st[e * 3 + ch] for ch in range(3)]
@@ -440,70 +524,73 @@ def pack(pixels_f16bits, flags: int, channel_weights, is_signed: bool,
                 selector = _HDRIndexSelector(cw, unq, fin, index_range,
                                              is_signed, fast_indexing)
 
-
+                # batched UNINVERTED selection for all 16 pixels at once;
+                # the fixup pixel's index is one of them (static one-hot
+                # over the pixel axis), so the separate fix-pixel select
+                # of the scalar flow is just a masked sum here
                 if fast_indexing:
-                    fix_index = selector.select_fast(fix_pix_2cl)
+                    idx_unv = selector.select_fast_batch(f2cl_s)
                 else:
-                    fix_index = selector.select_slow(fix_pix_lin)
+                    # NOTE: a fused (value, index, error-payload) variadic
+                    # reduce was tried here and lowered ~2x SLOWER than
+                    # the two-step select + where-chain gather (XLA:TPU
+                    # handles 2-operand variadic reduces well, 3-operand
+                    # ones poorly) — keep the two-step form
+                    idx_unv = selector.select_slow_batch(flinw_s)
+                    slow_err = selector.slow_error_batch(
+                        idx_unv, f2cl_unw_s, cw_sq, uniform)
+
+                fix_onehot = jnp.asarray(
+                    (fixups.reshape(q_count)[:, None]
+                     == np.arange(16)[None, :]))            # [Q,16] static
+                fix_index_unv = jnp.sum(
+                    jnp.where(fix_onehot[:, :, None], idx_unv, 0), axis=1)
 
                 half_range_m1 = index_range // 2 - 1
-                invert = fix_index > half_range_m1
-                fix_index = jnp.where(invert, (index_range - 1) - fix_index,
-                                      fix_index)
+                invert = fix_index_unv > half_range_m1      # [Q,N]
+                idx = jnp.where(invert[:, None, :],
+                                (index_range - 1) - idx_unv, idx_unv)
                 selector.conditional_invert(invert)
-                for ch in range(3):
-                    a, b = q_eps[0][ch], q_eps[1][ch]
-                    q_eps[0][ch] = jnp.where(invert, b, a)
-                    q_eps[1][ch] = jnp.where(invert, a, b)
+                # endpoint swap on the stacked [6, Q, N] array (one where)
+                q_st_sw = jnp.where(
+                    invert[None, :, :],
+                    q_st[jnp.asarray([3, 4, 5, 0, 1, 2])], q_st)
 
-                # dedup vs previous meta rounds (BC67.cpp:2853-2877)
+                # dedup vs previous meta rounds (BC67.cpp:2853-2877):
+                # one all-6-equal reduce per previous round
                 valid = jnp.ones(shape_q, dtype=bool)
                 for prev in range(meta_round):
                     if meta_eps[prev] is None:
                         continue
-                    same = jnp.ones(shape_q, dtype=bool)
-                    for epi in range(2):
-                        for ch in range(3):
-                            same = same & (meta_eps[prev][epi][ch]
-                                           == q_eps[epi][ch])
-                    valid = valid & ~same
+                    valid = valid & ~jnp.all(meta_eps[prev] == q_st_sw,
+                                             axis=0)
 
-                # index selection + error over subset pixels
-                indexes = []
+                # per-pixel error on the batched axis
+                if fast_indexing:
+                    recon = selector.reconstruct_batch(idx_unv)
+                    err = None
+                    for ch in range(3):
+                        d = recon[ch] - pixels_s[ch]
+                        e = lanes.to_float(d * d)
+                        if not uniform:
+                            e = e * cw_sq[ch]
+                        err = e if err is None else err + e
+                else:
+                    err = slow_err
+
+                # sequential per-pixel accumulation (reference f32 order)
                 subset_error = zero_f
                 for px in range(16):
-                    is_fix = fix_arr == px
-                    if fast_indexing:
-                        idx = selector.select_fast(
-                            [f2cl[px][ch][None, :] for ch in range(3)])
-                    else:
-                        idx = selector.select_slow(
-                            [flinw[px][ch][None, :] for ch in range(3)])
-                    idx = jnp.where(is_fix, fix_index, idx)
-                    if fast_indexing:
-                        recon = selector.reconstruct(idx)
-                        err = None
-                        for ch in range(3):
-                            d = recon[ch] - pixels[px][ch][None, :]
-                            e = lanes.to_float(d * d)
-                            if not uniform:
-                                e = e * cw_sq[ch]
-                            err = e if err is None else err + e
-                    else:
-                        err = selector.slow_error_for_index(
-                            idx, [f2cl_unw[px][ch][None, :]
-                                  for ch in range(3)], cw_sq, uniform)
                     subset_error = subset_error + jnp.where(
-                        member_ps[px], err, np.float32(0.0))
+                        member_ps[px], err[:, px, :], np.float32(0.0))
                     if refine_pass != num_refine_rounds - 1:
                         refiner.contribute_unweighted_pw(
                             [pw_pixels[px][ch][None, :]
-                             for ch in range(3)], idx,
+                             for ch in range(3)], idx[:, px, :],
                             mask=member_ps[px] & valid)
-                    indexes.append(idx)
 
-                meta_eps.append(q_eps)
-                meta_indexes.append(indexes)
+                meta_eps.append(q_st_sw)    # [6, Q, N]
+                meta_indexes.append(idx)          # [Q, 16, N]
                 meta_error.append(subset_error)
                 meta_valid.append(valid)
 
@@ -538,13 +625,13 @@ def pack(pixels_f16bits, flags: int, channel_weights, is_signed: bool,
         err0_all = stack_meta(lambda m: subset_slice(meta_error[m], 0))
         val0_all = stack_meta(lambda m: subset_slice(meta_valid[m], 0))
         ep0_all = [[stack_meta(
-            lambda m: subset_slice(meta_eps[m][e][ch], 0))
+            lambda m: subset_slice(meta_eps[m][e * 3 + ch], 0))
             for ch in range(3)] for e in range(2)]
         if partitioned:
             err1_all = stack_meta(lambda m: subset_slice(meta_error[m], 1))
             val1_all = stack_meta(lambda m: subset_slice(meta_valid[m], 1))
             ep1_all = [[stack_meta(
-                lambda m: subset_slice(meta_eps[m][e][ch], 1))
+                lambda m: subset_slice(meta_eps[m][e * 3 + ch], 1))
                 for ch in range(3)] for e in range(2)]
             totals = err0_all[:, :, None, :] + err1_all[:, None, :, :]
             valid_pair = val0_all[:, :, None, :] & val1_all[:, None, :, :]
@@ -558,6 +645,20 @@ def pack(pixels_f16bits, flags: int, channel_weights, is_signed: bool,
         # legality per mode (EvaluatePartitioned/SingleLegality,
         # BC67.cpp:2597-2663), any-mode-legal gate for candidate validity
         a_mask = (1 << aprec) - 1
+        # Delta-legality via one bit test per (delta, mode): the original
+        # form — delta = TruncateToPrecisionSigned(v - ep00, b);
+        # ((delta + ep00) & a_mask) == (v & a_mask) — is equivalent to
+        # ((v - ep00 + 2^(b-1)) & ((1<<aprec) - (1<<b))) == 0
+        # (bits b..aprec-1 of the half-up-biased difference must be zero;
+        # brute-force verified over the signed endpoint range for every
+        # (aprec, b) pair in HDR_MODES). The differences are shared
+        # across modes, so the [P, M0, M1, N] grids carry 3 ops per
+        # (channel, endpoint, mode) instead of ~7.
+        ep00 = [ep0_all[0][ch][:, :, None, :] for ch in range(3)]
+        d0 = [ep0_all[1][ch][:, :, None, :] - ep00[ch] for ch in range(3)]
+        if partitioned:
+            d1 = [[ep1_all[e][ch][:, None, :, :] - ep00[ch]
+                   for ch in range(3)] for e in range(2)]
         any_legal = None
         for mode_idx in mode_list:
             _, _, transformed, _, bprec = HDR_MODES[mode_idx]
@@ -565,29 +666,25 @@ def pack(pixels_f16bits, flags: int, channel_weights, is_signed: bool,
                 legal = jnp.ones_like(valid_pair)
             else:
                 legal = None
-                ep00 = [ep0_all[0][ch][:, :, None, :] for ch in range(3)]
                 for ch in range(3):
+                    half = 1 << (bprec[ch] - 1)
+                    hi_mask = (1 << aprec) - (1 << bprec[ch])
                     # subset 0 ep1 (depends on meta0 only)
-                    v = ep0_all[1][ch][:, :, None, :]
-                    delta = _truncate_signed(v - ep00[ch], bprec[ch])
-                    ok = ((delta + ep00[ch]) & a_mask) == (v & a_mask)
+                    ok = ((d0[ch] + half) & hi_mask) == 0
                     legal = ok if legal is None else legal & ok
                     if partitioned:
                         for e in range(2):
-                            v = ep1_all[e][ch][:, None, :, :]
-                            delta = _truncate_signed(v - ep00[ch], bprec[ch])
-                            ok = ((delta + ep00[ch]) & a_mask) \
-                                == (v & a_mask)
+                            ok = ((d1[e][ch] + half) & hi_mask) == 0
                             legal = legal & ok
             any_legal = legal if any_legal is None else any_legal | legal
 
         cand_err = jnp.where(valid_pair & any_legal, totals, INF)
 
         # ordered argmin over (P, M0, M1) in visitation-rank order
-        # (leading-axis flatten preserves p-major, then m0, then m1 order)
+        # (leading-axis flatten preserves p-major, then m0, then m1 order);
+        # one-pass (value, index) reduce — see lanes.lex_min_with_index
         flat = cand_err.reshape(-1, n)
-        win = lanes.first_argmin(flat, 0)
-        win_err = jnp.min(flat, axis=0)  # == flat[win], no gather
+        win_err, win = lanes.lex_min_with_index(flat, 0)
 
         # static decode of the flat winner index
         meta_ids = np.asarray(valid_rounds, dtype=np.int32)
@@ -656,24 +753,30 @@ def pack(pixels_f16bits, flags: int, channel_weights, is_signed: bool,
                         enc[s][e][ch] = jnp.where(first, cand[s][e][ch],
                                                   enc[s][e][ch])
 
-        # winner indexes: per pixel from the owning subset's meta round
-        idx0_all = [stack_meta(
-            lambda m, px=px: subset_slice(meta_indexes[m][px], 0))
-            for px in range(16)]
+        # winner indexes straight off the per-round [Q, 16, N] arrays:
+        # for pixel px the winner lives at row q = (win_part, owning
+        # subset) of the owning subset's winning round — exactly one
+        # (q, round) pair matches per (px, block), so a per-round masked
+        # sum replaces the former 32 [P,M,N] stacks + 32 masked-sum
+        # gathers (the dominant combine cost in the op profile)
+        q_part = jnp.asarray(np.repeat(
+            np.arange(num_parts, dtype=np.int32), num_subsets))[:, None]
+        q_sub = jnp.asarray(np.tile(
+            np.arange(num_subsets, dtype=np.int32), num_parts))[:, None]
+        own_q_px = jnp.asarray(sub_mask.reshape(q_count, 16))[:, :, None]
+        sel_part = q_part == win_part[None, :]              # [Q,N]
         if partitioned:
-            idx1_all = [stack_meta(
-                lambda m, px=px: subset_slice(meta_indexes[m][px], 1))
-                for px in range(16)]
-        idx_px = []
-        for px in range(16):
-            v0 = gather_pm(idx0_all[px], win_m0_pos)
-            if partitioned:
-                v1 = gather_pm(idx1_all[px], win_m1_pos)
-                own1 = _lut(sub_mask[:, 1, px].astype(np.int32),
-                            win_part) != 0
-                idx_px.append(jnp.where(own1, v1, v0))
-            else:
-                idx_px.append(v0)
+            msel = jnp.where(q_sub == 0, win_m0_pos[None, :],
+                             win_m1_pos[None, :])           # [Q,N]
+        else:
+            msel = jnp.broadcast_to(win_m0_pos[None, :], (q_count, n))
+        idx16 = None
+        for pos, m in enumerate(valid_rounds):
+            sel_m = (sel_part & (msel == pos))[:, None, :] & own_q_px
+            contrib = jnp.sum(jnp.where(sel_m, meta_indexes[m], 0),
+                              axis=0)                       # [16,N]
+            idx16 = contrib if idx16 is None else idx16 + contrib
+        idx_px = [idx16[px] for px in range(16)]
 
         payload = {
             "mode": chosen_mode,

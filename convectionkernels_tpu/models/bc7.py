@@ -87,11 +87,12 @@ class LexBest:
 
 def _ordered_argmin(error, rank_axis_is_ordered=True):
     """First-occurrence argmin over the last axis (candidates pre-ordered by
-    visitation rank), returning (min_error, argmin_index). Uses
-    lanes.first_argmin — jnp.argmin's documented first-occurrence tie
-    rule is not honored by every XLA:TPU reduce lowering."""
-    idx = lanes.first_argmin(error, -1)
-    err = jnp.min(error, axis=-1)  # == error[..., idx], no gather needed
+    visitation rank), returning (min_error, argmin_index). Uses the
+    one-pass (value, index) lexicographic reduce — jnp.argmin's documented
+    first-occurrence tie rule is not honored by every XLA:TPU reduce
+    lowering, and the two-pass first_argmin form made XLA re-fuse the
+    producer chain into both reduction passes."""
+    err, idx = lanes.lex_min_with_index(error, -1)
     return err, idx
 
 

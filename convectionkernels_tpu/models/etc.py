@@ -1575,12 +1575,11 @@ def _compress_alpha_internal(pixels, is_11bit: bool, is_signed: bool):
         total = total + d * d  # wraps like the reference's i32
         idx_list.append(pos_index + 4 - (sign_bits & 4))
 
-    win = lanes.first_argmin(total, -1)
+    best_err, win = lanes.lex_min_with_index(total, -1)
 
     def g(x):
         return lanes.take_winner(x, win)
 
-    best_err = g(total)
     best_table = g(jnp.broadcast_to(jnp.asarray(cand_table)[None, :],
                                     total.shape))
     best_base = g(base)
@@ -1825,12 +1824,12 @@ def encode_virtual_tmode_punchthrough(stage, rank_base, is_isolated_base,
         s = sel << (px * 2)
         selectors = s if selectors is None else selectors | s
 
-    win = lanes.first_argmin(round_err, -1)
+    win_err, win = lanes.lex_min_with_index(round_err, -1)
 
     def g(x, win=win):
         return lanes.take_winner(x, win)
 
-    best = dict(error=g(round_err), packed=g(packed),
+    best = dict(error=win_err, packed=g(packed),
                 selectors=g(selectors), use_h=g(use_h), h2=g(packed_h2),
                 table=win // n_steps)
 

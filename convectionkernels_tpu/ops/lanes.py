@@ -186,6 +186,46 @@ def lex_min_with_index(x, axes):
     return jax.lax.reduce((x, iota), (init, big), reducer, axes)
 
 
+def lex_min_with_payload(x, payloads, axes):
+    """lex_min_with_index that additionally carries `payloads` (a list of
+    arrays shaped like x) from the winning position through the same
+    one-pass reduce: (min value, first index, *payloads at the winner).
+
+    Replaces the select-argmin-then-gather pattern (two passes plus an
+    R-step where-chain) with a single fused pass; payload values are the
+    exact elements at the winner, so results are bit-identical to the
+    gather they replace.
+    """
+    import jax
+
+    if isinstance(axes, int):
+        axes = (axes,)
+    axes = tuple(a + x.ndim if a < 0 else a for a in axes)
+    sizes = [x.shape[a] for a in axes]
+    iota = None
+    stride = 1
+    for a, s in zip(reversed(axes), reversed(sizes)):
+        term = jax.lax.broadcasted_iota(I32, x.shape, a)
+        term = term * stride if stride > 1 else term
+        iota = term if iota is None else iota + term
+        stride *= s
+    big = jnp.int32(stride)
+
+    def reducer(a, b):
+        av, ai = a[0], a[1]
+        bv, bi = b[0], b[1]
+        better = (bv < av) | ((bv == av) & (bi < ai))
+        return tuple(jnp.where(better, bx, ax) for ax, bx in zip(a, b))
+
+    init = (jnp.asarray(jnp.inf, dtype=x.dtype)
+            if jnp.issubdtype(x.dtype, jnp.floating)
+            else jnp.asarray(jnp.iinfo(x.dtype).max, dtype=x.dtype))
+    inits = (init, big) + tuple(
+        jnp.zeros((), dtype=p.dtype) for p in payloads)
+    payloads = [jnp.broadcast_to(p, x.shape) for p in payloads]
+    return jax.lax.reduce((x, iota) + tuple(payloads), inits, reducer, axes)
+
+
 def take_winner(x, win):
     """x[i, win[i]] for x [N, K], win [N] — as a one-hot masked reduce.
 

@@ -74,3 +74,36 @@ def test_etc2_alpha_light(oracle):
     px = blockgen.mixed_blocks(64, seed=113)
     _check(oracle.encode_etc2_alpha(px, ORO), ck.encode_etc2_alpha(px, CKO),
            px)
+
+
+def test_bc2_light(oracle):
+    px = blockgen.alpha_blocks(64, seed=115)
+    _check(oracle.encode_bc2(px, ORO), ck.encode_bc2(px, CKO), px)
+
+
+def test_bc5_light(oracle):
+    px = blockgen.mixed_blocks(64, seed=117)
+    _check(oracle.encode_bc5u(px, ORO), ck.encode_bc5u(px, CKO), px)
+
+
+def test_etc1_light(oracle):
+    px = blockgen.gradient_blocks(32, seed=119)
+    _check(oracle.encode_etc1(px, ORO), ck.encode_etc1(px, CKO), px)
+
+
+def test_etc2_light(oracle):
+    px = blockgen.gradient_blocks(32, seed=121)
+    _check(oracle.encode_etc2(px, ORO), ck.encode_etc2(px, CKO), px)
+
+
+def test_etc2_punchthrough_light(oracle):
+    px = blockgen.alpha_blocks(32, seed=123)
+    _check(oracle.encode_etc2_punchthrough(px, ORO),
+           ck.encode_etc2_punchthrough(px, CKO), px)
+
+
+def test_eac11_light(oracle):
+    rng = np.random.default_rng(125)
+    px = rng.integers(0, 2048, size=(32, 16)).astype(np.int16)
+    _check(oracle.encode_eac11(px, ORO, signed=False),
+           ck.encode_eac11(px, signed=False, options=CKO), px)

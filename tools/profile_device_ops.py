@@ -79,6 +79,8 @@ def main():
         with jax.profiler.trace(tmp):
             np.asarray(jax.tree_util.tree_leaves(jitted(x))[0])
         by_op = defaultdict(float)
+        by_src = defaultdict(float)
+        by_src_n = defaultdict(int)
         total_prog = 0.0
         for path in glob.glob(tmp + "/**/*.trace.json.gz", recursive=True):
             with gzip.open(path) as f:
@@ -98,15 +100,25 @@ def main():
                     total_prog += dur
                 else:
                     by_op[nm] += dur
+                    src = str(e.get("args", {}).get("source", "?"))
+                    src = src.replace("/root/repo/convectionkernels_tpu/",
+                                      "")
+                    by_src[src] += dur
+                    by_src_n[src] += 1
         print(f"program total: {total_prog:.2f} ms "
               f"({n} blocks = {n * 16 / total_prog / 1e3:.1f} Mtexels/s)")
+        print("-- by source line --")
+        ranked = sorted(by_src.items(), key=lambda kv: -kv[1])
+        for src, dur in ranked[:25]:
+            print(f"  {dur:8.3f} ms  x{by_src_n[src]:<4d} {src[:100]}")
+        rest = sum(d for _, d in ranked[25:])
+        print(f"  {rest:8.3f} ms  (+{len(ranked) - 25} more sites)")
+        print("-- by op --")
         ranked = sorted(by_op.items(), key=lambda kv: -kv[1])
-        shown = 0.0
-        for nm, dur in ranked[:30]:
-            shown += dur
+        for nm, dur in ranked[:10]:
             print(f"  {dur:8.3f} ms  {nm[:110]}")
-        rest = sum(d for _, d in ranked[30:])
-        print(f"  {rest:8.3f} ms  (+{len(ranked) - 30} more ops)")
+        rest = sum(d for _, d in ranked[10:])
+        print(f"  {rest:8.3f} ms  (+{len(ranked) - 10} more ops)")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
