@@ -67,18 +67,21 @@ def _unscale_hdr_unsigned(v):
 def _quantize_element(v2cl, precision: int, is_signed: bool):
     """QuantizeSingleEndpointElement{Signed,Unsigned} (BC67.cpp:2424-2445).
 
-    Uses RoundUp (ceil) conversion; division by 31 is exactly rounded.
+    The reference computes ceil(f32_div(v*32or64, 31)); the quotient is
+    never within an f32 half-ulp of an integer unless it IS one (integer
+    gaps are multiples of 1/31 ~ 0.032 >> ulp(65535)/2 ~ 0.004), so the
+    ceil of the correctly-rounded division equals the exact rational
+    ceil = (v*k + 30) // 31 — verified over the full +-31743 domain.
+    XLA lowers the constant-31 division to a multiply-shift, far cheaper
+    than the correctly-rounded f32 divide it replaces.
     """
     if is_signed:
         negative = v2cl < 0
         abs_elem = jnp.where(negative, -v2cl, v2cl)
-        f = exact_divide(lanes.to_float(abs_elem) * np.float32(32.0),
-                         np.float32(31.0))
-        q = lanes.round_up_to_int(f) >> (16 - precision)
+        q = ((abs_elem * 32 + 30) // 31) >> (16 - precision)
         return jnp.where(negative, -q, q)
-    f = exact_divide(lanes.to_float(v2cl) * np.float32(64.0), np.float32(31.0))
-    f = jnp.minimum(f, np.float32(65535.0))
-    return lanes.round_up_to_int(f) >> (16 - precision)
+    q = jnp.minimum((v2cl * 64 + 30) // 31, 65535)
+    return q >> (16 - precision)
 
 
 def _unquantize_element(comp, precision: int, is_signed: bool):
@@ -158,8 +161,14 @@ class _HDRIndexSelector:
             recon = self._reconstruct_uninverted(
                 [unquantized_ep[e][ch][..., None, :] for e in range(2)
                  for ch in range(3)], idx)
-            self.interp_unw = [lanes.twoscl_half_to_float(recon[ch])
-                               for ch in range(3)]
+            import jax as _jax
+
+            # BARRIERED so the interpolants are materialized exactly once:
+            # without it XLA re-fuses the reconstruct+TwosCL chain into
+            # both consumers' [Q, R, 16, N] iteration spaces, recomputing
+            # it per pixel (~6 ms/chunk in the op profile)
+            self.interp_unw = _jax.lax.optimization_barrier(
+                [lanes.twoscl_half_to_float(recon[ch]) for ch in range(3)])
             # the WEIGHTED interpolators (interp_unw * cw) are computed
             # inline by the selects instead of materialized: the extra
             # per-element multiply is far cheaper than another set of
@@ -385,6 +394,7 @@ def pack(pixels_f16bits, flags: int, channel_weights, is_signed: bool,
     f2cl_s = _stack16(f2cl)
     f2cl_unw_s = _stack16(f2cl_unw)
     pixels_s = _stack16(pixels)
+    pw_s = _stack16(pw_pixels)
 
     # PCA over 65 pixel sets: 32 partitions x 2 subsets + full block
     # (BC67.cpp:2736-2774), batched as one [N, 65] run.
@@ -462,9 +472,13 @@ def pack(pixels_f16bits, flags: int, channel_weights, is_signed: bool,
             else:
                 sub_mask[pp, 0, :] = True
 
-        base = [jnp.take(ufep_base[ch], jnp.asarray(cols.reshape(-1)),
+        # Q rows are SUBSET-MAJOR (q = s*num_parts + p): the combine's
+        # per-subset slices are then contiguous [P, N] halves instead of
+        # stride-2 sublane copies
+        cols_sm = cols.T.reshape(-1)
+        base = [jnp.take(ufep_base[ch], jnp.asarray(cols_sm),
                          axis=1).T for ch in range(3)]          # [Q, N]
-        offset = [jnp.take(ufep_offset[ch], jnp.asarray(cols.reshape(-1)),
+        offset = [jnp.take(ufep_offset[ch], jnp.asarray(cols_sm),
                            axis=1).T for ch in range(3)]
 
         shape_q = (q_count, n)
@@ -475,9 +489,10 @@ def pack(pixels_f16bits, flags: int, channel_weights, is_signed: bool,
         meta_error = []     # per metaRound: [Q,N]
         meta_valid = []     # per metaRound: [Q,N] bool
 
-        member_ps = [jnp.asarray(
-            sub_mask[:, :, px].reshape(q_count)[:, None])
-            for px in range(16)]                     # [Q,1]
+        sub_mask_sm = sub_mask.transpose(1, 0, 2).reshape(q_count, 16)
+        member_ps = [jnp.asarray(sub_mask_sm[:, px][:, None])
+                     for px in range(16)]            # [Q,1]
+        member3 = jnp.asarray(sub_mask_sm)[:, :, None]
 
         for tweak in range(MAX_TWEAK_ROUNDS):
             refiner = EndpointRefiner(zero_f, 3, index_range, cw)
@@ -541,7 +556,7 @@ def pack(pixels_f16bits, flags: int, channel_weights, is_signed: bool,
                         idx_unv, f2cl_unw_s, cw_sq, uniform)
 
                 fix_onehot = jnp.asarray(
-                    (fixups.reshape(q_count)[:, None]
+                    (fixups.T.reshape(q_count)[:, None]
                      == np.arange(16)[None, :]))            # [Q,16] static
                 fix_index_unv = jnp.sum(
                     jnp.where(fix_onehot[:, :, None], idx_unv, 0), axis=1)
@@ -578,7 +593,11 @@ def pack(pixels_f16bits, flags: int, channel_weights, is_signed: bool,
                 else:
                     err = slow_err
 
-                # sequential per-pixel accumulation (reference f32 order)
+                # sequential per-pixel accumulation (reference f32 order).
+                # NOTE: a batched [Q,16,N] refiner contribution was tried
+                # and regressed ~8 ms/chunk — XLA materialized all six
+                # masked term arrays instead of fusing them into the
+                # accumulator chains; the per-pixel form fuses cleanly.
                 subset_error = zero_f
                 for px in range(16):
                     subset_error = subset_error + jnp.where(
@@ -615,12 +634,15 @@ def pack(pixels_f16bits, flags: int, channel_weights, is_signed: bool,
             continue
 
         def subset_slice(arr, s):
-            """[Q,N] -> the [P,N] rows of subset s."""
-            return arr.reshape(num_parts, num_subsets, n)[:, s, :]
+            """[Q,N] -> the [P,N] rows of subset s (contiguous half)."""
+            return arr.reshape(num_subsets, num_parts, n)[s]
 
         def stack_meta(get):
-            """[P,len(valid_rounds),N] from per-round [P,N] slices."""
-            return jnp.stack([get(m) for m in valid_rounds], axis=1)
+            """[len(valid_rounds),P,N] from per-round [P,N] slices —
+            meta axes LEADING so the pair grids below keep (P, N) on the
+            (sublane, lane) tile dims with zero padding (a [P,M,M,N]
+            layout padded the 12-wide M axis to a 16-row tile)."""
+            return jnp.stack([get(m) for m in valid_rounds], axis=0)
 
         err0_all = stack_meta(lambda m: subset_slice(meta_error[m], 0))
         val0_all = stack_meta(lambda m: subset_slice(meta_valid[m], 0))
@@ -633,11 +655,11 @@ def pack(pixels_f16bits, flags: int, channel_weights, is_signed: bool,
             ep1_all = [[stack_meta(
                 lambda m: subset_slice(meta_eps[m][e * 3 + ch], 1))
                 for ch in range(3)] for e in range(2)]
-            totals = err0_all[:, :, None, :] + err1_all[:, None, :, :]
-            valid_pair = val0_all[:, :, None, :] & val1_all[:, None, :, :]
+            totals = err0_all[:, None, :, :] + err1_all[None, :, :, :]
+            valid_pair = val0_all[:, None, :, :] & val1_all[None, :, :, :]
         else:
-            totals = err0_all[:, :, None, :]
-            valid_pair = val0_all[:, :, None, :]
+            totals = err0_all[:, None, :, :]
+            valid_pair = val0_all[:, None, :, :]
 
         m_count = len(valid_rounds)
         m1_count = m_count if partitioned else 1
@@ -654,10 +676,10 @@ def pack(pixels_f16bits, flags: int, channel_weights, is_signed: bool,
         # (aprec, b) pair in HDR_MODES). The differences are shared
         # across modes, so the [P, M0, M1, N] grids carry 3 ops per
         # (channel, endpoint, mode) instead of ~7.
-        ep00 = [ep0_all[0][ch][:, :, None, :] for ch in range(3)]
-        d0 = [ep0_all[1][ch][:, :, None, :] - ep00[ch] for ch in range(3)]
+        ep00 = [ep0_all[0][ch][:, None, :, :] for ch in range(3)]
+        d0 = [ep0_all[1][ch][:, None, :, :] - ep00[ch] for ch in range(3)]
         if partitioned:
-            d1 = [[ep1_all[e][ch][:, None, :, :] - ep00[ch]
+            d1 = [[ep1_all[e][ch][None, :, :, :] - ep00[ch]
                    for ch in range(3)] for e in range(2)]
         any_legal = None
         for mode_idx in mode_list:
@@ -680,11 +702,10 @@ def pack(pixels_f16bits, flags: int, channel_weights, is_signed: bool,
 
         cand_err = jnp.where(valid_pair & any_legal, totals, INF)
 
-        # ordered argmin over (P, M0, M1) in visitation-rank order
-        # (leading-axis flatten preserves p-major, then m0, then m1 order);
-        # one-pass (value, index) reduce — see lanes.lex_min_with_index
-        flat = cand_err.reshape(-1, n)
-        win_err, win = lanes.lex_min_with_index(flat, 0)
+        # ordered argmin over the [M0, M1, P, N] grid with the flat index
+        # in (P, M0, M1) visitation-rank order (axes=(2,0,1): P carries
+        # the largest stride); one-pass (value, index) reduce
+        win_err, win = lanes.lex_min_with_index(cand_err, (2, 0, 1))
 
         # static decode of the flat winner index
         meta_ids = np.asarray(valid_rounds, dtype=np.int32)
@@ -708,10 +729,10 @@ def pack(pixels_f16bits, flags: int, channel_weights, is_signed: bool,
         win_m1_pos = _lut(m1_pos_of, win)
 
         def gather_pm(arr, m_pos):
-            """arr [P,M,N] -> [N] at (win_part, m_pos), as a masked sum
-            over the P*M rows (take_along_axis would serial-gather)."""
+            """arr [M,P,N] -> [N] at (m_pos, win_part), as a masked sum
+            over the M*P rows (take_along_axis would serial-gather)."""
             flat_arr = arr.reshape(-1, n)
-            idx = win_part * arr.shape[1] + m_pos
+            idx = m_pos * num_parts + win_part
             rows = jnp.arange(flat_arr.shape[0],
                               dtype=jnp.int32)[:, None]
             return jnp.sum(jnp.where(rows == idx[None, :], flat_arr, 0),
@@ -759,11 +780,12 @@ def pack(pixels_f16bits, flags: int, channel_weights, is_signed: bool,
         # (q, round) pair matches per (px, block), so a per-round masked
         # sum replaces the former 32 [P,M,N] stacks + 32 masked-sum
         # gathers (the dominant combine cost in the op profile)
-        q_part = jnp.asarray(np.repeat(
+        q_part = jnp.asarray(np.tile(
             np.arange(num_parts, dtype=np.int32), num_subsets))[:, None]
-        q_sub = jnp.asarray(np.tile(
+        q_sub = jnp.asarray(np.repeat(
             np.arange(num_subsets, dtype=np.int32), num_parts))[:, None]
-        own_q_px = jnp.asarray(sub_mask.reshape(q_count, 16))[:, :, None]
+        own_q_px = jnp.asarray(sub_mask.transpose(1, 0, 2).reshape(
+            q_count, 16))[:, :, None]
         sel_part = q_part == win_part[None, :]              # [Q,N]
         if partitioned:
             msel = jnp.where(q_sub == 0, win_m0_pos[None, :],
