@@ -394,7 +394,6 @@ def pack(pixels_f16bits, flags: int, channel_weights, is_signed: bool,
     f2cl_s = _stack16(f2cl)
     f2cl_unw_s = _stack16(f2cl_unw)
     pixels_s = _stack16(pixels)
-    pw_s = _stack16(pw_pixels)
 
     # PCA over 65 pixel sets: 32 partitions x 2 subsets + full block
     # (BC67.cpp:2736-2774), batched as one [N, 65] run.

@@ -19,16 +19,19 @@ def main():
 
     lines = [
         "| Config | TPU Mtexels/s (device) | SSE2 Mtexels/s | speedup "
-        "| rep spread |",
-        "|---|---|---|---|---|",
+        "| rep spread | Gflop/s (cost model) | % VPU peak (lower bound) |",
+        "|---|---|---|---|---|---|---|",
     ]
     for name, e in details.items():
         reps = e["reps_device_ms"]
         spread = (max(reps) - min(reps)) / min(reps) * 100 if reps else 0
+        gflops = e.get("cost_model_gflop_per_s", 0)
+        pct = e.get("pct_of_vpu_peak_lower_bound")
         lines.append(
             f"| {name} | {e['mtexels_per_s']:g} | "
             f"{e['ref_sse2_mtexels_per_s']:g} | "
-            f"{e['speedup_vs_sse2']:g}x | {spread:.0f}% |")
+            f"{e['speedup_vs_sse2']:g}x | {spread:.0f}% | "
+            f"{gflops:g} | {pct if pct is not None else '-'} |")
     table = "\n".join(lines)
 
     path = os.path.join(REPO, "README.md")
