@@ -65,14 +65,24 @@ _cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR") or os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "build", "jax_cache")
 if os.path.exists(_artifact):
+    # stamp records the artifact's (size, mtime) so a regenerated tarball
+    # is re-extracted into an existing cache dir (stale entries are merely
+    # unused — extraction only ever adds/overwrites cache files)
+    _st = os.stat(_artifact)
+    _key = f"{_st.st_size}:{int(_st.st_mtime)}\n"
     _stamp = os.path.join(_cache_dir, ".light_artifact_extracted")
-    if not os.path.exists(_stamp):
+    try:
+        with open(_stamp) as _f:
+            _seen = _f.read()
+    except OSError:
+        _seen = ""
+    if _seen != _key:
         import tarfile
 
         os.makedirs(_cache_dir, exist_ok=True)
         with tarfile.open(_artifact) as _tf:
             _tf.extractall(_cache_dir)
         with open(_stamp, "w") as _f:
-            _f.write("1\n")
+            _f.write(_key)
 
 _cache.enable(_cache_dir)

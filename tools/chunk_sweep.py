@@ -6,13 +6,18 @@ dominated by *fixed* small-op overhead (profile_formats.py), so a larger
 chunk amortizes that overhead over more texels. This sweep measures the
 real trade-off on the attached chip to pick per-codec chunk sizes.
 
-Usage: python tools/chunk_sweep.py [fmt ...]   (default: etc2 bc6hu bc7_q50)
+Usage: python tools/chunk_sweep.py [fmt ...]
+(default: etc2 bc6hu bc7_q50 eac_r11)
+
+Results are appended into CHUNK_SWEEP.json at the repo root (the
+committed record backing the api.py chunk constants).
 
 The printed `wall` spans the whole bench_ours call — compile + warm-up
 run + 2 profiled repetitions — so read it as an upper bound on compile
 time, not a pure compile figure.
 """
 
+import json
 import os
 import sys
 import time
@@ -33,7 +38,7 @@ def main():
     from convectionkernels_tpu.api import _bc6h_fn, _bc7_fn, _eac_fn, _etc_fn
     from convectionkernels_tpu.bc7_plan import plan_from_quality
 
-    fmts = sys.argv[1:] or ["etc2", "bc6hu", "bc7_q50"]
+    fmts = sys.argv[1:] or ["etc2", "bc6hu", "bc7_q50", "eac_r11"]
     opt = Options()
     rng = np.random.default_rng(44)
 
@@ -52,12 +57,21 @@ def main():
         raise SystemExit(f"unknown format(s) {unknown}; "
                          f"supported: {sorted(builders)}")
 
+    out_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "CHUNK_SWEEP.json")
+    try:
+        with open(out_path) as f:
+            record = json.load(f)
+    except (OSError, ValueError):
+        record = {}
+
     for fmt in fmts:
         make_body, make_px = builders[fmt]
         body = make_body()
         import jax
         jitted = jax.jit(body)
-        for n in (4096, 8192, 16384, 32768):
+        record.setdefault(fmt, {})
+        for n in (1024, 2048, 4096, 8192, 16384):
             px = make_px(n)
             try:
                 t0 = time.perf_counter()
@@ -68,9 +82,16 @@ def main():
                 print(f"{fmt} chunk={n}: FAILED {type(exc).__name__}: "
                       f"{str(exc)[:160]}", flush=True)
                 break
+            record[fmt][str(n)] = {
+                "mtexels_per_s": round(rate, 3),
+                "reps_device_ms": [round(t * 1e3, 3) for t in reps_s],
+            }
             print(f"{fmt} chunk={n}: {rate:.2f} Mtexels/s "
                   f"(reps {['%.2f' % (t * 1e3) for t in reps_s]} ms, "
                   f"incl-compile wall {wall:.0f}s)", flush=True)
+            with open(out_path, "w") as f:
+                json.dump(record, f, indent=1, sort_keys=True)
+                f.write("\n")
 
 
 if __name__ == "__main__":

@@ -19,14 +19,15 @@ def main():
 
     lines = [
         "| Config | TPU Mtexels/s (device) | SSE2 Mtexels/s | speedup "
-        "| rep spread | Gflop/s (cost model) | % VPU peak (lower bound) |",
+        "| rep spread | Gop/s (cost model) | % elementwise ceiling |",
         "|---|---|---|---|---|---|---|",
     ]
     for name, e in details.items():
         reps = e["reps_device_ms"]
         spread = (max(reps) - min(reps)) / min(reps) * 100 if reps else 0
-        gflops = e.get("cost_model_gflop_per_s", 0)
-        pct = e.get("pct_of_vpu_peak_lower_bound")
+        gflops = e.get("cost_model_gop_per_s",
+                       e.get("cost_model_gflop_per_s", 0))
+        pct = e.get("pct_elementwise_ceiling")
         lines.append(
             f"| {name} | {e['mtexels_per_s']:g} | "
             f"{e['ref_sse2_mtexels_per_s']:g} | "
