@@ -292,9 +292,16 @@ def main():
     except Exception:
         pass
 
-    details = {}
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "BENCH_DETAILS.json")
+    # Merge into the existing record: a budget-killed run must never
+    # erase rows it didn't get to re-measure. Each row carries its own
+    # measured_utc so fresh vs carried-over is always visible.
+    try:
+        with open(out_path) as f:
+            details = json.load(f)
+    except Exception:
+        details = {}
 
     def flush_details():
         try:
@@ -335,6 +342,8 @@ def main():
             "ref_sse2_mtexels_per_s": round(ref_rate, 4),
             "speedup_vs_sse2": round(ours / ref_rate, 2),
             "cost_model_gop_per_s": round(gflops, 1),
+            "measured_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                          time.gmtime()),
         }
         if ceiling_ops and gflops:
             # cost-model op rate / measured elementwise ceiling (see

@@ -111,9 +111,9 @@ def main():
         accs = [x + np.int32(i) for i in range(LANES)]
         for step in range(DEGREE):
             if step % 2 == 0:
-                accs = [a + np.int32(0x9E3779B9) for a in accs]
+                accs = [a + np.int32(0x9E3779B9 - (1 << 32)) for a in accs]
             else:
-                accs = [a ^ np.int32(0x85EBCA6B) for a in accs]
+                accs = [a ^ np.int32(0x85EBCA6B - (1 << 32)) for a in accs]
         out = accs[0]
         for a in accs[1:]:
             out = out + a
