@@ -15,6 +15,9 @@ representation (2CL) with the scalar build's magnitude-only linearization.
 
 from __future__ import annotations
 
+import os
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -30,6 +33,17 @@ from ..ops.index_select import WEIGHT_RECIPROCALS
 
 MAX_TWEAK_ROUNDS = 4   # BC67.h:86
 MAX_REFINE_ROUNDS = 3  # BC67.h:87
+
+
+def _use_pallas_kernel() -> bool:
+    """Whether the partitioned-group meta rounds run as the Pallas TPU
+    mega-kernel (bc6h_kernel.py). Default: on for TPU backends, off for
+    CPU (where the kernel would run interpreted).
+    CONVECTION_BC6H_KERNEL=0/1 overrides."""
+    env = os.environ.get("CONVECTION_BC6H_KERNEL")
+    if env is not None:
+        return env != "0"
+    return jax.default_backend() in ("tpu", "axon")
 
 # g_hdrModes (BC67.cpp:151-167): (modeID, partitioned, transformed, aPrec,
 # bPrec[3]) in table order — mode indexes match bc6h_layout.LAYOUTS.
@@ -435,6 +449,18 @@ def pack(pixels_f16bits, flags: int, channel_weights, is_signed: bool,
     rank_base = 0
     max_meta = MAX_TWEAK_ROUNDS * MAX_REFINE_ROUNDS
 
+    # Pallas kernel gate for the partitioned groups (bc6h_kernel.py):
+    # the meta-round chain runs in VMEM per NB-block tile; the combine
+    # below is unchanged. Kernel-vs-graph byte equality is pinned by
+    # tests/test_bc6h_kernel.py.
+    from . import bc6h_kernel
+    kernel_ok = _use_pallas_kernel() and n % bc6h_kernel.NB == 0
+    kernel_interpret = jax.default_backend() not in ("tpu", "axon")
+    pix_flat48 = None
+    if kernel_ok:
+        pix_flat48 = jnp.stack(
+            [pixels[px][ch] for px in range(16) for ch in range(3)], axis=0)
+
     for group_idx, (partitioned, aprec, mode_list) in enumerate(groups):
         if _only_groups is not None and group_idx not in _only_groups:
             rank_base += (32 if partitioned else 1) * max_meta * max_meta
@@ -483,8 +509,9 @@ def pack(pixels_f16bits, flags: int, channel_weights, is_signed: bool,
         shape_q = (q_count, n)
         zero_f = jnp.zeros(shape_q, dtype=jnp.float32)
 
-        meta_eps = []       # per metaRound: [2][3] arrays [Q,N]
-        meta_indexes = []   # per metaRound: 16 arrays [Q,N]
+        meta_eps = []       # per metaRound: [6, Q, N] stacked encoded eps
+        meta_indexes = []   # per metaRound: [Q,16,N] (graph path only)
+        meta_idx_packed = []  # per metaRound: [2, Q, N] (kernel path only)
         meta_error = []     # per metaRound: [Q,N]
         meta_valid = []     # per metaRound: [Q,N] bool
 
@@ -493,7 +520,36 @@ def pack(pixels_f16bits, flags: int, channel_weights, is_signed: bool,
                      for px in range(16)]            # [Q,1]
         member3 = jnp.asarray(sub_mask_sm)[:, :, None]
 
-        for tweak in range(MAX_TWEAK_ROUNDS):
+        use_kernel = kernel_ok and partitioned
+        if use_kernel:
+            active = tuple(
+                (t * MAX_REFINE_ROUNDS + r, t, r,
+                 r == num_refine_rounds - 1)
+                for t in range(num_tweak_rounds)
+                for r in range(num_refine_rounds))
+            err_k, valid_k, eps_k, idx_k = \
+                bc6h_kernel.partitioned_group_meta_rounds(
+                    pix_flat48, base, offset, aprec, is_signed,
+                    fast_indexing, uniform, cw, cw_sq, active,
+                    num_refine_rounds, index_range, sub_mask_sm,
+                    fixups.T.reshape(q_count),
+                    interpret=kernel_interpret)
+            pos_of = {m: p for p, (m, _, _, _) in enumerate(active)}
+            for m in range(max_meta):
+                if m in pos_of:
+                    p_ = pos_of[m]
+                    meta_eps.append(eps_k[p_])
+                    meta_error.append(err_k[p_])
+                    meta_valid.append(valid_k[p_])
+                    meta_idx_packed.append(idx_k[p_])
+                else:
+                    meta_eps.append(None)
+                    meta_error.append(None)
+                    meta_valid.append(jnp.zeros(shape_q, dtype=bool))
+                    meta_idx_packed.append(None)
+                meta_indexes.append(None)
+
+        for tweak in range(MAX_TWEAK_ROUNDS if not use_kernel else 0):
             refiner = EndpointRefiner(zero_f, 3, index_range, cw)
             for refine_pass in range(MAX_REFINE_ROUNDS):
                 meta_round = tweak * MAX_REFINE_ROUNDS + refine_pass
@@ -779,25 +835,58 @@ def pack(pixels_f16bits, flags: int, channel_weights, is_signed: bool,
         # (q, round) pair matches per (px, block), so a per-round masked
         # sum replaces the former 32 [P,M,N] stacks + 32 masked-sum
         # gathers (the dominant combine cost in the op profile)
-        q_part = jnp.asarray(np.tile(
-            np.arange(num_parts, dtype=np.int32), num_subsets))[:, None]
-        q_sub = jnp.asarray(np.repeat(
-            np.arange(num_subsets, dtype=np.int32), num_parts))[:, None]
-        own_q_px = jnp.asarray(sub_mask.transpose(1, 0, 2).reshape(
-            q_count, 16))[:, :, None]
-        sel_part = q_part == win_part[None, :]              # [Q,N]
-        if partitioned:
-            msel = jnp.where(q_sub == 0, win_m0_pos[None, :],
-                             win_m1_pos[None, :])           # [Q,N]
+        if use_kernel:
+            # Winner indexes from the kernel's packed 3-bit words: gather
+            # each subset's winning-round words at the winning partition
+            # row ([P,N] masked sums), then unpack per pixel by the
+            # partition map's subset bit. Exactly one (p, round) matches
+            # per (subset, block), as in the unpacked form below.
+            sel_p = jnp.asarray(np.arange(num_parts, dtype=np.int32)
+                                )[:, None] == win_part[None, :]   # [P,N]
+            words = [jnp.zeros((n,), dtype=jnp.int32) for _ in range(4)]
+            for pos, m in enumerate(valid_rounds):
+                w_lo, w_hi = meta_idx_packed[m][0], meta_idx_packed[m][1]
+                hit0 = sel_p & (win_m0_pos[None, :] == pos)
+                hit1 = sel_p & (win_m1_pos[None, :] == pos)
+                words[0] = words[0] + jnp.sum(
+                    jnp.where(hit0, w_lo[:num_parts], 0), axis=0)
+                words[1] = words[1] + jnp.sum(
+                    jnp.where(hit0, w_hi[:num_parts], 0), axis=0)
+                words[2] = words[2] + jnp.sum(
+                    jnp.where(hit1, w_lo[num_parts:], 0), axis=0)
+                words[3] = words[3] + jnp.sum(
+                    jnp.where(hit1, w_hi[num_parts:], 0), axis=0)
+            pmap = _lut(np.asarray(geom.PARTITION_MAP_2, dtype=np.int32),
+                        win_part)
+            idx_px = []
+            for px in range(16):
+                sbit = (pmap >> px) & 1
+                if px < 10:
+                    w = jnp.where(sbit == 1, words[2], words[0])
+                    idx_px.append((w >> (3 * px)) & 7)
+                else:
+                    w = jnp.where(sbit == 1, words[3], words[1])
+                    idx_px.append((w >> (3 * (px - 10))) & 7)
         else:
-            msel = jnp.broadcast_to(win_m0_pos[None, :], (q_count, n))
-        idx16 = None
-        for pos, m in enumerate(valid_rounds):
-            sel_m = (sel_part & (msel == pos))[:, None, :] & own_q_px
-            contrib = jnp.sum(jnp.where(sel_m, meta_indexes[m], 0),
-                              axis=0)                       # [16,N]
-            idx16 = contrib if idx16 is None else idx16 + contrib
-        idx_px = [idx16[px] for px in range(16)]
+            q_part = jnp.asarray(np.tile(
+                np.arange(num_parts, dtype=np.int32), num_subsets))[:, None]
+            q_sub = jnp.asarray(np.repeat(
+                np.arange(num_subsets, dtype=np.int32), num_parts))[:, None]
+            own_q_px = jnp.asarray(sub_mask.transpose(1, 0, 2).reshape(
+                q_count, 16))[:, :, None]
+            sel_part = q_part == win_part[None, :]              # [Q,N]
+            if partitioned:
+                msel = jnp.where(q_sub == 0, win_m0_pos[None, :],
+                                 win_m1_pos[None, :])           # [Q,N]
+            else:
+                msel = jnp.broadcast_to(win_m0_pos[None, :], (q_count, n))
+            idx16 = None
+            for pos, m in enumerate(valid_rounds):
+                sel_m = (sel_part & (msel == pos))[:, None, :] & own_q_px
+                contrib = jnp.sum(jnp.where(sel_m, meta_indexes[m], 0),
+                                  axis=0)                       # [16,N]
+                idx16 = contrib if idx16 is None else idx16 + contrib
+            idx_px = [idx16[px] for px in range(16)]
 
         payload = {
             "mode": chosen_mode,

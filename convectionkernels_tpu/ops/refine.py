@@ -161,9 +161,9 @@ class EndpointRefiner:
             lanes.clamp(f1[ch], 0.0, 255.0)) for ch in range(nrc)]
         return ep0, ep1
 
-    def get_refined_endpoints_hdr(self, signed: bool):
+    def get_refined_endpoints_hdr(self, signed: bool, stacked: bool = True):
         """GetRefinedEndpointsHDR (EndpointRefiner.h:159-175) -> int32 eps."""
-        f0, f1 = self.get_refined_endpoints()
+        f0, f1 = self.get_refined_endpoints(stacked=stacked)
         lo = -31743.0 if signed else 0.0
         ep0 = [lanes.round_and_convert_to_int_nearest(
             lanes.clamp(f, lo, 31743.0)) for f in f0]
