@@ -902,6 +902,14 @@ def pack(pixels_f16bits, flags: int, channel_weights, is_signed: bool,
 
         rank_base += num_parts * max_meta * max_meta
 
+    if _skip_combine:
+        # profiling hook: thread the accumulated error bits into the
+        # packer's index payload so the meta-round work cannot be DCE'd
+        # (the output is meaningless; only device timing is read)
+        err_bits = jax.lax.bitcast_convert_type(best.error, jnp.int32)
+        best.payload["idx"] = jnp.broadcast_to((err_bits & 7)[:, None],
+                                               (n, 16))
+
     return _pack_bits(best, n)
 
 

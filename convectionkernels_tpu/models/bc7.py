@@ -189,7 +189,7 @@ def _single_plane_grid_best(mode, n, float_pixels, pixels, pw_pixels,
     # static candidate validity: tweak t valid iff t < seeds[shape]
     cand_valid = (c_t[:, None] < seeds[None, :])  # [C,S]
 
-    best = LexBest.empty((n, s_count), {"ep": (2, 4)})
+    best = LexBest.empty((n, s_count), {f"ep{j}": () for j in range(8)})
     full255 = jnp.full((n, c_count, s_count), 255, dtype=jnp.int32)
     ep_state = [[tweak_ep[epi][ch] for ch in range(4)] for epi in range(2)]
     member_b = [jnp.asarray(masks[:, px][None, None, :]) for px in range(16)]
@@ -234,13 +234,8 @@ def _single_plane_grid_best(mode, n, float_pixels, pixels, pw_pixels,
             return jnp.take_along_axis(arr[:, flat_order, :],
                                        win[:, None, :], axis=1)[:, 0, :]
 
-        win_ep = [[gather_c(compressed[epi][ch]) for ch in range(4)]
-                  for epi in range(2)]
-        payload = {
-            "ep": jnp.stack(
-                [jnp.stack([win_ep[epi][ch] for ch in range(4)], axis=-1)
-                 for epi in range(2)], axis=-2),
-        }
+        payload = {f"ep{epi * 4 + ch}": gather_c(compressed[epi][ch])
+                   for epi in range(2) for ch in range(4)}
         best.update(min_err, win_rank, payload)
 
         if refiner is not None:
@@ -267,60 +262,73 @@ def _single_plane_kernel_best(mode, n, pixels, base, offset, seeds,
     index_range = cfg["index_range"]
 
     # static packed candidate table, shape-major with UNIFORM per-shape
-    # slot count (parity_max x the mode's max seed count): slot j of
-    # shape s is (p = j // t_max, t = j % t_max), invalid when
-    # t >= seeds[s]. Uniform slots let the per-shape winner reduction be
-    # a reshape + where-chains instead of per-slot gathers (XLA:TPU
-    # lowers indexed takes to ~40us serial gathers).
+    # slot count (parity_max x the mode's max seed count rounded up to a
+    # power of two): slot j of shape s is (p = j // t_pad, t = j % t_pad),
+    # invalid when t >= seeds[s]. Power-of-two segments let the kernel's
+    # butterfly winner reduce stay segment-local, so per-shape winners
+    # come back on EVERY lane of the shape's segment and the graph never
+    # compacts the candidate axis (no [N, S, c_max] relayout).
     t_max = max(1, min(int(seeds.max()) if s_count else 1, t_count))
-    c_max = parity_max * t_max
+    t_pad = 1 << (t_max - 1).bit_length()
+    c_max = parity_max * t_pad          # power of two (parity_max is)
     k_real = s_count * c_max
     k_len = max(-(-k_real // 128) * 128, 128)
     pad = k_len - k_real
     ks = np.arange(k_real)
     s_of_k = np.concatenate([ks // c_max,
                              np.zeros(pad, np.int64)]).astype(np.int32)
-    p_of_k = np.concatenate([(ks % c_max) // t_max,
+    p_of_k = np.concatenate([(ks % c_max) // t_pad,
                              np.zeros(pad, np.int64)]).astype(np.int32)
-    t_of_k = np.concatenate([ks % t_max,
+    t_of_k = np.concatenate([ks % t_pad,
                              np.zeros(pad, np.int64)]).astype(np.int32)
     seeds_clamped = np.minimum(seeds.astype(np.int32), t_count)
     invalid_slot = np.concatenate([
-        ks % t_max >= seeds_clamped[ks // c_max],
+        ks % t_pad >= seeds_clamped[ks // c_max],
         np.ones(pad, dtype=bool)])
     pad_mask = invalid_slot
 
     # tweak factors per candidate
-    f0 = np.zeros(k_len, dtype=np.float32)
-    f1 = np.zeros(k_len, dtype=np.float32)
+    tweakf = np.zeros((2, k_len), dtype=np.float32)
     for t in range(t_count):
         ff0, ff1 = lanes.compute_tweak_factors(t, index_range)
-        f0[t_of_k == t] = ff0
-        f1[t_of_k == t] = ff1
+        tweakf[0, t_of_k == t] = ff0
+        tweakf[1, t_of_k == t] = ff1
 
-    s_idx = jnp.asarray(s_of_k)
-    ep_init = [[], []]
+    def expand_s(arr, fill):
+        """[N, S] -> [N, k_len]: each shape's value replicated over its
+        c_max consecutive slots. Pure broadcast + reshape (+ pad) — the
+        former jnp.take expansion lowered to a serial gather
+        (~1.4 ms/chunk at q50 in the op profile)."""
+        rep = jnp.broadcast_to(arr[:, :, None], (n, s_count, c_max))
+        rep = rep.reshape(n, k_real)
+        if pad:
+            rep = jnp.concatenate(
+                [rep, jnp.full((n, pad), fill, rep.dtype)], axis=1)
+        return rep
+
+    base_k, offset_k = [], []
     for ch in range(4):
         if is_rgb and ch == 3:
-            e0 = jnp.full((n, k_len), 255, dtype=jnp.int32)
-            e1 = e0
+            z = jnp.zeros((n, k_len), dtype=jnp.float32)
+            base_k.append(z)
+            offset_k.append(z)
         else:
-            b = jnp.take(base[ch], s_idx, axis=1)
-            o = jnp.take(offset[ch], s_idx, axis=1)
-            e0 = lanes.round_and_convert_to_int_nearest(
-                lanes.clamp(b + o * jnp.asarray(f0)[None, :], 0.0, 255.0))
-            e1 = lanes.round_and_convert_to_int_nearest(
-                lanes.clamp(b + o * jnp.asarray(f1)[None, :], 0.0, 255.0))
-        ep_init[0].append(e0)
-        ep_init[1].append(e1)
+            base_k.append(expand_s(base[ch], 0.0))
+            offset_k.append(expand_s(offset[ch], 0.0))
 
     # per-candidate static alpha error; +inf encodes invalid (padding and
     # punchthrough-invalid parities) so the kernel needs no separate mask
     if alpha_s is None:
         alpha_k = jnp.zeros((n, k_len), dtype=jnp.float32)
     else:
-        alpha_k = jnp.take(alpha_s, s_idx, axis=1)
-    pti_k = jnp.take(pti_arr, jnp.asarray(p_of_k), axis=1)
+        alpha_k = expand_s(alpha_s, 0.0)
+    # parity pattern per shape segment: p repeats t_pad times
+    pti_k = jnp.broadcast_to(
+        pti_arr[:, None, :, None],
+        (n, s_count, parity_max, t_pad)).reshape(n, k_real)
+    if pad:
+        pti_k = jnp.concatenate(
+            [pti_k, jnp.zeros((n, pad), dtype=pti_k.dtype)], axis=1)
     alpha_k = jnp.where(pti_k | jnp.asarray(pad_mask)[None, :], INF,
                         alpha_k)
 
@@ -335,36 +343,16 @@ def _single_plane_kernel_best(mode, n, pixels, base, offset, seeds,
         [pixels[px][ch] for px in range(16) for ch in range(4)], axis=-1)
 
     interpret = jax.default_backend() not in ("tpu", "axon")
-    err, rank, ep8 = bc7_kernel.single_plane_mode_best(
-        mode, pix_flat, ep_init, alpha_k, consts, cfg, cw,
-        num_refine_rounds, interpret=interpret)
+    err, rank, pk0, pk1 = bc7_kernel.single_plane_mode_best(
+        mode, pix_flat, base_k, offset_k, tweakf, alpha_k, consts, c_max,
+        cfg, cw, num_refine_rounds, interpret=interpret)
 
-    # per-shape winner: reshape the uniform slots to [N, S, Cmax] and
-    # lex-reduce with where-chains (the winner slot is unique because
-    # final ranks differ per slot; invalid slots carry +inf error)
-    def grp(arr):
-        return arr[:, :k_real].reshape(n, s_count, c_max)
-
-    e = grp(err)
-    r = grp(rank)
-    m = jnp.min(e, axis=-1)
-    rm = jnp.min(jnp.where(e == m[..., None], r, BIG_RANK), axis=-1)
-    sel = (e == m[..., None]) & (r == rm[..., None])
-
-    def pick(arr):
-        g = grp(arr)
-        v = g[..., 0]
-        for j in range(1, c_max):
-            v = jnp.where(sel[..., j], g[..., j], v)
-        return v
-
-    ep_pl = jnp.stack(
-        [jnp.stack(
-            [pick(ep8[:, (e2 * 4 + c2) * k_len:
-                       (e2 * 4 + c2 + 1) * k_len])
-             for c2 in range(4)], axis=-1)
-         for e2 in range(2)], axis=-2)  # [N, S, 2, 4]
-    return LexBest(m, rm, {"ep": ep_pl})
+    # The kernel's butterfly reduce leaves each shape's winner on EVERY
+    # lane of its c_max-aligned segment, so the per-shape arrays stay in
+    # the [N, K] candidate layout: downstream consumers read shape s at
+    # static lane s*c_max (col_stride) and unpack the two 4x8-bit
+    # endpoint words only on [N]-sized winners.
+    return LexBest(err, rank, {"eppk0": pk0, "eppk1": pk1}), c_max
 
 
 def try_single_plane(pixels, float_pixels, pw_pixels, channel_weights, flags,
@@ -559,7 +547,7 @@ def try_single_plane(pixels, float_pixels, pw_pixels, channel_weights, flags,
         if use_kernel:
             alpha_s = (jnp.take(static_alpha_error_rgb, cols, axis=1)
                        if is_rgb else None)
-            best = _single_plane_kernel_best(
+            best, col_stride = _single_plane_kernel_best(
                 mode, n, pixels, base, offset, seeds, parity_max, alpha_s,
                 pti_arr, masks, cfg, cw, num_refine_rounds, s_count,
                 is_rgb)
@@ -569,17 +557,19 @@ def try_single_plane(pixels, float_pixels, pw_pixels, channel_weights, flags,
                 seeds, c_t, c_p, pti_c, p0c, p1c, cw, cfg, base_rank_c,
                 num_refine_rounds, s_count, c_count,
                 static_alpha_error_rgb, cols, is_rgb, masks)
+            col_stride = 1
 
         # --- TrySingleColor (BC67.cpp:1435-1569) ---
         if try_single_color:
             _try_single_color(mode, best, pixels, cw_sq, uniform, shape_ids,
                               masks, static_alpha_error_rgb, cols if is_rgb
                               else None, is_rgb, pti_arr, parity_max, n,
-                              s_count, flags)
+                              s_count, flags, col_stride)
 
         # --- Partition combine (BC67.cpp:1571-1660) ---
         winner = _combine_partitions(
-            mode, mode_pos, best, shape_ids, plan, n, has_alpha, allow_rgb)
+            mode, mode_pos, best, shape_ids, plan, n, has_alpha, allow_rgb,
+            col_stride)
         if winner is not None:
             # Recompute the winner's pixel indexes from its endpoints: one
             # [N]-sized selector pass per subset (<=3), replacing the
@@ -614,14 +604,28 @@ def try_single_plane(pixels, float_pixels, pw_pixels, channel_weights, flags,
 
 def _try_single_color(mode, best, pixels, cw_sq, uniform, shape_ids, masks,
                       static_alpha_error_rgb, rgb_cols, is_rgb, pti_arr,
-                      parity_max, n, s_count, flags):
+                      parity_max, n, s_count, flags, col_stride=1):
     """TrySingleColorRGBAMultiTable per shape (BC67.cpp:940-1040).
+
+    col_stride > 1 (the kernel path) means `best` carries per-shape
+    values replicated over col_stride-lane segments; the candidate is
+    evaluated on the same width so the update stays elementwise.
 
     NOTE: replicates the reference's average computation quirk: the average
     uses pixels[pxi] (the first shapeLength pixels), not the shape's pixels
     (BC67.cpp:1448-1451).
     """
     num_real_channels = 3 if is_rgb else 4
+
+    w_cols = best.error.shape[1]
+    if col_stride == 1:
+        masks_w = masks
+    else:
+        masks_w = np.zeros((w_cols, 16), dtype=bool)
+        masks_w[:s_count * col_stride] = np.repeat(masks, col_stride,
+                                                   axis=0)
+    masks = masks_w
+    s_count = w_cols
 
     # The reference's table-selection loop NEVER commits a candidate: the
     # update gate is `better = AndNot(pti, better)` (BC67.cpp:1002-1003),
@@ -657,32 +661,50 @@ def _try_single_color(mode, best, pixels, cw_sq, uniform, shape_ids, masks,
             error = error + lanes.to_float(agg[ch]) * cw_sq[ch]
 
     if is_rgb:
-        error = error + jnp.take(static_alpha_error_rgb, rgb_cols, axis=1)
+        al = jnp.take(static_alpha_error_rgb, rgb_cols, axis=1)
+        if col_stride > 1:
+            al = jnp.broadcast_to(
+                al[:, :, None],
+                (n, al.shape[1], col_stride)).reshape(n, -1)
+            if al.shape[1] < s_count:
+                al = jnp.concatenate(
+                    [al, jnp.zeros((n, s_count - al.shape[1]), al.dtype)],
+                    axis=1)
+        error = error + al
 
     # single-color candidates come after all tweak/parity candidates.
     # No index payload: black ep0==ep1 endpoints make the post-combine
     # index recompute a degenerate axis (len_sq==0 -> axis 0 -> index 0,
     # and +-1 retests reconstruct the same color), reproducing the
     # reference's index 0 (BC67.cpp:951-961).
-    payload = {
-        "ep": jnp.stack([jnp.stack([eps[epi][ch] for ch in range(4)],
-                                   axis=-1) for epi in range(2)], axis=-2),
-    }
+    if "eppk0" in best.payload:
+        # kernel path carries packed endpoint words
+        payload = {}
+        for epi in range(2):
+            pk = eps[epi][0]
+            for ch in range(1, 4):
+                pk = pk | (eps[epi][ch] << (8 * ch))
+            payload[f"eppk{epi}"] = pk
+    else:
+        payload = {f"ep{epi * 4 + ch}": eps[epi][ch]
+                   for epi in range(2) for ch in range(4)}
     rank = jnp.full((n, s_count), BIG_RANK - 1, dtype=jnp.int32)
     best.update(error, rank, payload)
 
 
 def _combine_partitions(mode, mode_pos, best, shape_ids, plan, n, has_alpha,
-                        allow_rgb):
+                        allow_rgb, col_stride=1):
     """Per-partition error combine + winner materialization
-    (BC67.cpp:1571-1660)."""
+    (BC67.cpp:1571-1660). col_stride > 1 means `best` carries per-shape
+    values replicated over col_stride-lane segments (the kernel path);
+    shape s is read at static column s * col_stride."""
     info = MODE_INFO[mode]
     num_subsets = info["num_subsets"]
     num_partitions = 1 << info["partition_bits"]
     is_rgb = mode < 4
 
     col_of = np.full(243, -1, dtype=np.int32)
-    col_of[shape_ids] = np.arange(len(shape_ids))
+    col_of[shape_ids] = np.arange(len(shape_ids)) * col_stride
 
     if mode in (0, 1, 2, 3):
         enabled_bits = [plan.mode0_partition_enabled,
@@ -751,10 +773,17 @@ def _combine_partitions(mode, mode_pos, best, shape_ids, plan, n, has_alpha,
 
     for subset in range(num_subsets):
         c = cols_per_subset[subset]
-        for epi in range(2):
-            for ch in range(4):
-                ep[subset][epi][ch] = _gather_cols(
-                    best.payload["ep"][:, :, epi, ch], c)
+        if "eppk0" in best.payload:
+            # kernel path: two packed words per winner, unpacked on [N]
+            for epi in range(2):
+                pk = _gather_cols(best.payload[f"eppk{epi}"], c)
+                for ch in range(4):
+                    ep[subset][epi][ch] = (pk >> (8 * ch)) & 0xFF
+        else:
+            for epi in range(2):
+                for ch in range(4):
+                    ep[subset][epi][ch] = _gather_cols(
+                        best.payload[f"ep{epi * 4 + ch}"], c)
 
     # indexes: gather from the owning subset's shape per pixel
     if num_subsets == 1:

@@ -52,18 +52,46 @@ INF = np.float32(np.inf)
 NB = 8
 
 
-def _kernel_body(mode, k_len, num_refine_rounds, cfg, cw,
-                 pix_ref, alpha_ref, consts_ref,
-                 e000, e001, e002, e003, e100, e101, e102, e103,
-                 err_out, rank_out, ep_out):
-    """One NB-block tile: full refine loop for all K packed candidates."""
+def _kernel_body(mode, k_len, cpow, num_refine_rounds, cfg, cw,
+                 pix_ref, alpha_ref, consts_ref, tweakf_ref,
+                 b0, b1, b2, b3, o0, o1, o2, o3,
+                 err_out, rank_out, pk0_out, pk1_out):
+    """One (NB-block, K-chunk) tile: full refine loop for the chunk's
+    packed candidates. k_len here is the CHUNK width — wide modes are
+    split over a second grid dimension so the unrolled body's VMEM stack
+    stays bounded (~8 MB per 256 lanes; mode 3's 1952-lane single-step
+    form ran a ~60 MB stack and throttled on spills).
+
+    The tweak-seeded initial endpoints are computed IN the kernel from
+    the per-shape UFEP base/offset (expanded to candidate lanes) and the
+    per-candidate tweak-factor rows: same round/clamp helpers as the
+    graph path (bc7.py _single_plane_grid_best tweak_ep), moved here so
+    the graph neither gathers per-candidate endpoints nor materializes
+    eight [N, K] arrays per mode (~2.7 ms/chunk at q50 in the op
+    profile). The winning endpoints travel as TWO packed 4x8-bit words
+    (compressed endpoints are u8), halving both the butterfly's roll
+    traffic and the output footprint."""
     nb = pix_ref.shape[0]
 
     pix = pix_ref[:]                      # [NB, 64] i32 (px*4+ch)
     alpha = alpha_ref[:]                  # [NB, K] f32; +inf marks invalid
 
-    ep = [[e000[:], e001[:], e002[:], e003[:]],
-          [e100[:], e101[:], e102[:], e103[:]]]
+    is_rgb = cfg["num_real_channels"] == 3
+    f0k = tweakf_ref[0:1, :]              # [1, K] f32 tweak factors
+    f1k = tweakf_ref[1:2, :]
+    base_k = [b0[:], b1[:], b2[:], b3[:]]
+    offset_k = [o0[:], o1[:], o2[:], o3[:]]
+    ep = [[], []]
+    for ch in range(4):
+        if is_rgb and ch == 3:
+            e0 = jnp.full((nb, k_len), 255, dtype=jnp.int32)
+            ep[0].append(e0)
+            ep[1].append(e0)
+        else:
+            ep[0].append(lanes.round_and_convert_to_int_nearest(
+                lanes.clamp(base_k[ch] + offset_k[ch] * f0k, 0.0, 255.0)))
+            ep[1].append(lanes.round_and_convert_to_int_nearest(
+                lanes.clamp(base_k[ch] + offset_k[ch] * f1k, 0.0, 255.0)))
 
     # packed static rows (see single_plane_mode_best): per-endpoint parity
     # bits, 16 per-pixel shape-membership rows, per-candidate rank
@@ -91,7 +119,7 @@ def _kernel_body(mode, k_len, num_refine_rounds, cfg, cw,
 
     best_err = jnp.full((nb, k_len), lanes.FLT_MAX, dtype=jnp.float32)
     best_rank = jnp.full((nb, k_len), BIG_RANK, dtype=jnp.int32)
-    best_ep = [jnp.zeros((nb, k_len), dtype=jnp.int32) for _ in range(8)]
+    best_pk = [jnp.zeros((nb, k_len), dtype=jnp.int32) for _ in range(2)]
 
     for refine in range(num_refine_rounds):
         compressed = bc7_common.compress_endpoints(mode, ep, p0k, p1k,
@@ -110,9 +138,11 @@ def _kernel_body(mode, k_len, num_refine_rounds, cfg, cw,
                                        & (rank_r < best_rank))
         best_err = jnp.where(better, err_r, best_err)
         best_rank = jnp.where(better, rank_r, best_rank)
-        for i in range(8):
-            best_ep[i] = jnp.where(better, compressed[i // 4][i % 4],
-                                   best_ep[i])
+        for w in range(2):
+            pk = compressed[w][0]
+            for ch in range(1, 4):
+                pk = pk | (compressed[w][ch] << (8 * ch))
+            best_pk[w] = jnp.where(better, pk, best_pk[w])
 
         if refiner is not None:
             r0, r1 = refiner.get_refined_endpoints_ldr(
@@ -121,10 +151,42 @@ def _kernel_body(mode, k_len, num_refine_rounds, cfg, cw,
                 ep[0][ch] = r0[ch]
                 ep[1][ch] = r1[ch]
 
+    # --- in-kernel per-shape winner (butterfly over each shape's
+    # cpow-aligned slot segment): at step 2^k every lane merges with its
+    # lane-index-XOR-2^k partner (two cyclic rolls selected by the iota
+    # bit — partners always lie inside the same 2^(k+1)-aligned block),
+    # so after log2(cpow) steps EVERY lane of a segment holds the
+    # segment's lexicographic (error, rank) winner. The graph then reads
+    # per-shape values at static lane s*cpow with no relayout — the
+    # former [N, S, c_max] reshape (or strided-slice) reduction cost
+    # ~3-4 ms/chunk of pure data movement at q50. The merge comparator
+    # is associative + commutative (ranks are unique per slot), so the
+    # winner equals the sequential scan's.
+    if cpow > 1:
+        iota = jax.lax.broadcasted_iota(jnp.int32, (nb, k_len), 1)
+        step = 1
+        while step < cpow:
+            hi = (iota & step) != 0
+
+            def partner(x, hi=hi, step=step):
+                return jnp.where(hi, pltpu.roll(x, step, 1),
+                                 pltpu.roll(x, k_len - step, 1))
+
+            pe = partner(best_err)
+            pr = partner(best_rank)
+            ppk = [partner(p) for p in best_pk]
+            better = (pe < best_err) | ((pe == best_err)
+                                        & (pr < best_rank))
+            best_err = jnp.where(better, pe, best_err)
+            best_rank = jnp.where(better, pr, best_rank)
+            best_pk = [jnp.where(better, p, e)
+                       for p, e in zip(ppk, best_pk)]
+            step *= 2
+
     err_out[:] = best_err
     rank_out[:] = best_rank
-    for i in range(8):
-        ep_out[:, i * k_len:(i + 1) * k_len] = best_ep[i]
+    pk0_out[:] = best_pk[0]
+    pk1_out[:] = best_pk[1]
 
 
 def _pca_kernel_body(nch, k_len, cw, uniform, with_alpha,
@@ -237,13 +299,17 @@ def shape_pca(pix_flat, masks, nch, cw, uniform, with_alpha,
     return base, offset
 
 
-def single_plane_mode_best(mode, pix_flat, ep_init, alpha_k, consts,
-                           cfg, cw, num_refine_rounds, interpret=False):
+def single_plane_mode_best(mode, pix_flat, base_k, offset_k, tweakf,
+                           alpha_k, consts, cpow, cfg, cw,
+                           num_refine_rounds, interpret=False):
     """Run the mode's packed-candidate refine kernel.
 
     Args:
       pix_flat: [N, 64] i32 pixels (px*4+ch).
-      ep_init:  [2][4] lists of [N, K] i32 initial (tweaked) endpoints.
+      base_k/offset_k: [4] lists of [N, K] f32 per-candidate UFEP rows
+                (per-shape values expanded to candidate lanes; the
+                tweak-seeded endpoints are computed in-kernel).
+      tweakf:   [2, K] numpy f32 per-candidate tweak factors (f0, f1).
       alpha_k:  [N, K] f32 per-candidate static alpha error, +inf where
                 the candidate is invalid (padding / punchthrough parity).
       consts:   [19, K] numpy i32: rows 0/1 parity bits, 2..17 per-pixel
@@ -251,38 +317,54 @@ def single_plane_mode_best(mode, pix_flat, ep_init, alpha_k, consts,
       cfg: accumulate_error config.
 
     Returns (best_err [N, K] f32, best_rank [N, K] i32,
-             best_ep [N, 8*K] i32) — per-candidate best over refine rounds.
+             best_pk0, best_pk1 [N, K] i32 packed 4x8-bit endpoints) —
+    per-candidate best over refine rounds, butterfly-reduced so every
+    lane of a cpow segment holds its shape's winner.
     """
-    n, k_len = ep_init[0][0].shape
+    n, k_len = base_k[0].shape
     assert n % NB == 0, (n, NB)
 
-    kernel = functools.partial(_kernel_body, mode, k_len,
+    # lane-chunk the candidate axis: bounds the unrolled body's VMEM
+    # stack for wide modes (the chunk must keep whole cpow segments,
+    # which any multiple of 128 does — cpow <= 16)
+    kc = next((d for d in (512, 384, 256, 128)
+               if k_len % d == 0), k_len)
+    assert kc % cpow == 0, (k_len, kc, cpow)
+
+    kernel = functools.partial(_kernel_body, mode, kc, cpow,
                                num_refine_rounds, cfg, cw)
 
-    def spec(width):
-        return pl.BlockSpec((NB, width), lambda i: (i, 0),
+    def spec(width, chunked=True):
+        if chunked:
+            return pl.BlockSpec((NB, width), lambda i, j: (i, j),
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec((NB, width), lambda i, j: (i, 0),
                             memory_space=pltpu.VMEM)
 
-    consts_spec = pl.BlockSpec((19, k_len), lambda i: (0, 0),
+    consts_spec = pl.BlockSpec((19, kc), lambda i, j: (0, j),
+                               memory_space=pltpu.VMEM)
+    tweakf_spec = pl.BlockSpec((2, kc), lambda i, j: (0, j),
                                memory_space=pltpu.VMEM)
 
-    err, rank, ep = pl.pallas_call(
+    err, rank, pk0, pk1 = pl.pallas_call(
         kernel,
-        grid=(n // NB,),
-        in_specs=[spec(64), spec(k_len), consts_spec] + [spec(k_len)] * 8,
-        out_specs=[spec(k_len), spec(k_len), spec(8 * k_len)],
+        grid=(n // NB, k_len // kc),
+        in_specs=[spec(64, False), spec(kc), consts_spec, tweakf_spec]
+        + [spec(kc)] * 8,
+        out_specs=[spec(kc)] * 4,
         out_shape=[
             jax.ShapeDtypeStruct((n, k_len), jnp.float32),
             jax.ShapeDtypeStruct((n, k_len), jnp.int32),
-            jax.ShapeDtypeStruct((n, 8 * k_len), jnp.int32),
+            jax.ShapeDtypeStruct((n, k_len), jnp.int32),
+            jax.ShapeDtypeStruct((n, k_len), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=112 * 1024 * 1024),
         interpret=interpret,
-    )(pix_flat, alpha_k, jnp.asarray(consts),
-      ep_init[0][0], ep_init[0][1], ep_init[0][2], ep_init[0][3],
-      ep_init[1][0], ep_init[1][1], ep_init[1][2], ep_init[1][3])
-    return err, rank, ep
+    )(pix_flat, alpha_k, jnp.asarray(consts), jnp.asarray(tweakf),
+      base_k[0], base_k[1], base_k[2], base_k[3],
+      offset_k[0], offset_k[1], offset_k[2], offset_k[3])
+    return err, rank, pk0, pk1
 
 
 # --- Dual-plane (modes 4/5) kernel -------------------------------------------
