@@ -71,7 +71,9 @@ def main():
         import jax
         jitted = jax.jit(body)
         record.setdefault(fmt, {})
-        for n in (1024, 2048, 4096, 8192, 16384):
+        sizes = tuple(int(s) for s in os.environ.get(
+            "CHUNK_SWEEP_SIZES", "1024,2048,4096,8192,16384").split(","))
+        for n in sizes:
             px = make_px(n)
             try:
                 t0 = time.perf_counter()

@@ -4,8 +4,10 @@ cache for the fast verification tier.
 Runs tests/test_light_options.py (every codec family, reduced search
 rounds) against a FRESH cache directory, then tars the resulting
 entries. A reviewer's cold `pytest tests/test_light_options.py` then
-completes in ~1 minute instead of ~8 (1-CPU box; conftest extracts the
-artifact automatically). Rerun this after changing any encoder graph.
+completes in ~5-6 minutes instead of ~8+ (1-CPU box; the remaining
+time is oracle compilation and the test bodies, not XLA compiles;
+conftest extracts the artifact automatically). Rerun this after
+changing any encoder graph.
 
 Usage: python tools/make_cache_artifact.py
 """
